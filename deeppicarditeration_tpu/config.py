@@ -1,0 +1,281 @@
+"""Config system: YAML tree with single-inheritance ``BASE:`` chains.
+
+Behavioral parity with the reference config layer
+(/root/reference/picard/config.py:229-266): configs may point at a parent
+file via ``BASE:``; chains are resolved deep -> shallow; ``NAME`` fields are
+concatenated along the chain; CLI ``KEY.SUBKEY value`` overrides are merged
+last and may not touch ``BASE``; the result is frozen.
+
+The schema keeps the reference's key layout (EQUATION/METHOD/PICARD/TRAIN/
+NETWORK/DATA/EVAL/LOGGING) so reference users can port run recipes
+unchanged, minus the GPU-memory-probing keys (static shapes make them
+meaningless on TPU, survey §5.3) and plus TPU-specific keys (MESH, chunking,
+precision policy).
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import pathlib
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+class FrozenConfigError(AttributeError):
+    pass
+
+
+class Config(dict):
+    """A nested attribute-accessible dict that can be frozen."""
+
+    _FROZEN_KEY = "__frozen__"
+
+    def __init__(self, init: Optional[Dict[str, Any]] = None):
+        super().__init__()
+        object.__setattr__(self, "_frozen", False)
+        if init:
+            for k, v in init.items():
+                self[k] = self._wrap(v)
+
+    @classmethod
+    def _wrap(cls, value):
+        if isinstance(value, Config):
+            return value
+        if isinstance(value, dict):
+            return cls(value)
+        if isinstance(value, list):
+            return [cls._wrap(v) for v in value]
+        return value
+
+    # --- attribute access -------------------------------------------------
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name, value):
+        if object.__getattribute__(self, "_frozen"):
+            raise FrozenConfigError(f"Config is frozen; cannot set {name}")
+        self[name] = self._wrap(value)
+
+    def __setitem__(self, name, value):
+        if object.__getattribute__(self, "_frozen"):
+            raise FrozenConfigError(f"Config is frozen; cannot set {name}")
+        super().__setitem__(name, self._wrap(value))
+
+    # --- freeze -----------------------------------------------------------
+    def freeze(self):
+        object.__setattr__(self, "_frozen", True)
+        for v in self.values():
+            if isinstance(v, Config):
+                v.freeze()
+        return self
+
+    def defrost(self):
+        object.__setattr__(self, "_frozen", False)
+        for v in self.values():
+            if isinstance(v, Config):
+                v.defrost()
+        return self
+
+    def clone(self) -> "Config":
+        return Config(copy.deepcopy(self.to_dict()))
+
+    def to_dict(self) -> Dict[str, Any]:
+        out = {}
+        for k, v in self.items():
+            if isinstance(v, Config):
+                out[k] = v.to_dict()
+            elif isinstance(v, list):
+                out[k] = [x.to_dict() if isinstance(x, Config) else x for x in v]
+            else:
+                out[k] = v
+        return out
+
+    def dump(self) -> str:
+        return yaml.safe_dump(self.to_dict(), sort_keys=False)
+
+    # --- merging ----------------------------------------------------------
+    def merge(self, other: Dict[str, Any], allow_new: bool = True):
+        """Recursively merge ``other`` into self (other wins)."""
+        if object.__getattribute__(self, "_frozen"):
+            raise FrozenConfigError("Config is frozen; cannot merge")
+        for k, v in other.items():
+            if isinstance(v, dict) and isinstance(self.get(k), Config):
+                self[k].merge(v, allow_new=allow_new)
+            else:
+                if not allow_new and k not in self:
+                    raise KeyError(f"Unknown config key: {k}")
+                self[k] = self._wrap(v)
+        return self
+
+    def merge_from_list(self, override: List[str]):
+        """Merge ``["KEY.SUBKEY", "value", ...]`` pairs (CLI overrides)."""
+        assert len(override) % 2 == 0, "override list must be key/value pairs"
+        for key, raw in zip(override[::2], override[1::2]):
+            key = key.lstrip("-")
+            node = self
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            node[parts[-1]] = _parse_value(raw)
+        return self
+
+
+def _parse_value(raw: str) -> Any:
+    """Parse a CLI override value: try python literal, fall back to str."""
+    if raw in ("None", "none", "null"):
+        return None
+    if raw in ("true", "True"):
+        return True
+    if raw in ("false", "False"):
+        return False
+    try:
+        return ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
+        return raw
+
+
+def default_cfg() -> Config:
+    """The fully-specified default tree (reference parity: config.py:9-116)."""
+    c = Config()
+    c.BASE = None
+    c.FORCE = False
+    c.NAME = "exp"
+    c.SEED = 0
+
+    c.EQUATION = Config()
+    c.EQUATION.cls = "Cha"
+    c.EQUATION.kwargs = Config()
+
+    c.METHOD = Config()
+    c.METHOD.cls = "Picard"  # Picard | PINN | Diffusion | FullyNonlinearSolver
+    c.METHOD.num_v_samples = 16  # Hutchinson probes; -1 => exact laplacian
+    c.METHOD.K = 20  # rollout steps (Diffusion baseline)
+    c.METHOD.dt = 0.005
+    c.METHOD.num_sub_iter = 100  # DBDP sub-iterations per timestep
+
+    c.PICARD = Config()
+    c.PICARD.N = 1
+    c.PICARD.FORMULA = None  # None | "TwoLayer"
+
+    c.TRAIN = Config()
+    c.TRAIN.BATCH_SIZE = 2048
+    c.TRAIN.N_EPOCHS = 1
+    c.TRAIN.SUPERVISE_GRADIENT = None
+    c.TRAIN.SUPERVISE_HESSIAN = None
+    c.TRAIN.NUM_HESS_SAMPLES = -1
+    c.TRAIN.LOSS = Config()
+    c.TRAIN.LOSS.beta = 0.0  # exp(beta * t) sample weighting
+    c.TRAIN.LOSS.SCALER = Config()
+    c.TRAIN.LOSS.SCALER.cls = None
+    c.TRAIN.LOSS.SCALER.kwargs = Config()
+    c.TRAIN.LOSS.FN = Config()
+    c.TRAIN.LOSS.FN.cls = None  # None => square; "LossFnLinearClip" => huber-ish
+    c.TRAIN.LOSS.FN.kwargs = Config()
+    c.TRAIN.LOSS.use_aux_loss = False
+    c.TRAIN.LOSS.weight_aux_loss = 0.1
+    c.TRAIN.OPTIMIZER = Config()
+    c.TRAIN.OPTIMIZER.cls = "Adam"
+    c.TRAIN.OPTIMIZER.kwargs = Config()
+    c.TRAIN.OPTIMIZER.SCHEDULER = Config()
+    c.TRAIN.OPTIMIZER.SCHEDULER.cls = None
+    c.TRAIN.OPTIMIZER.SCHEDULER.kwargs = Config()
+    c.TRAIN.OPTIMIZER.SCHEDULER.config = Config()
+
+    c.NETWORK = Config()
+    c.NETWORK.cls = None  # None => PicardSolution
+    c.NETWORK.TYPE = "Value"  # Value | ValueGradient | OnlyGradient
+    c.NETWORK.NEURONS = [10, 10]
+    c.NETWORK.ACTIVATIONS = ["Tanh", "Tanh"]
+    c.NETWORK.BOUND = None
+    c.NETWORK.RELOAD = False
+    c.NETWORK.PISGRADNET = False
+    c.NETWORK.PRETRAIN_PATH = None
+    c.NETWORK.kwargs = Config()
+
+    c.DATA = Config()
+    c.DATA.kwargs = Config()  # t_always_uniform, n_estimate_terminal/integral
+    c.DATA.SAVE = False
+    c.DATA.ONLINE = True
+    c.DATA.TRAIN_FILE = ""
+    c.DATA.DATA_SIZE = 2048 * 5000
+    c.DATA.DEVICE = None  # unused on TPU; kept for recipe compatibility
+    c.DATA.FLOAT = "float"  # "float" | "double" (double only honored on CPU)
+    c.DATA.EXACT = False
+    c.DATA.SHUFFLE = None
+    c.DATA.HESSIAN_APPROXIMATION = Config()
+    c.DATA.HESSIAN_APPROXIMATION.method = None  # None | "SDGD"
+    c.DATA.HESSIAN_APPROXIMATION.kwargs = Config()
+    c.DATA.SAMPLE_BOUND = None
+    c.DATA.ESTIMATE_DELTA_T = 0.0  # >0 => TD-style short-horizon estimators
+    # TPU-specific: static per-step MC chunk (replaces the reference's
+    # OOM-probing GPUMemoryTracker, memory.py:117-208 -- static shapes
+    # make ahead-of-time sizing exact).
+    c.DATA.CHUNK_ELEMS = 2 ** 22  # target batch*m_chunk elements per scan step
+
+    c.MESH = Config()
+    c.MESH.AXES = ["data"]
+    c.MESH.SHAPE = None  # None => all local devices on one axis
+
+    c.LOGGING = Config()
+    c.LOGGING.LOGGER = "jsonl"  # jsonl | tensorboard | none
+    c.LOGGING.kwargs = Config()
+    c.LOGGING.TENSORBOARD_DIR = "tensorboard"
+
+    c.EVAL = Config()
+    c.EVAL.L2_N_POINTS = 10_000
+    c.EVAL.FREQ = None
+    c.EVAL.BATCH_SIZE = None
+    c.EVAL.TEST_GRAD = False
+    c.EVAL.TEST_HESSIAN = False
+    return c
+
+
+def _read_yaml(path: pathlib.Path) -> Dict[str, Any]:
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def load_cfg(cfg_file, override: Optional[List[str]] = None) -> Config:
+    """Load a config file, resolving its BASE chain and applying overrides.
+
+    BASE paths are resolved relative to the file that references them.
+    NAME values along the chain are joined with underscores
+    (reference parity: config.py:247-254).
+    """
+    cfg_file = pathlib.Path(cfg_file)
+    chain = []  # shallow -> deep
+    path = cfg_file
+    seen = set()
+    while path is not None:
+        path = path.resolve()
+        if path in seen:
+            raise ValueError(f"Circular BASE chain at {path}")
+        seen.add(path)
+        raw = _read_yaml(path)
+        chain.append(raw)
+        base = raw.get("BASE")
+        path = (path.parent / base) if base else None
+
+    cfg = default_cfg()
+    names = []
+    for raw in reversed(chain):  # deep -> shallow
+        raw = dict(raw)
+        raw.pop("BASE", None)
+        if "NAME" in raw:
+            names.append(raw["NAME"])
+        cfg.merge(raw)
+    cfg.NAME = "_".join(names) if names else cfg.NAME
+    cfg.BASE = None
+
+    if override:
+        for k in override[::2]:
+            if k.lstrip("-").split(".")[0] == "BASE":
+                raise ValueError("override should not contain BASE")
+        cfg.merge_from_list(override)
+    cfg.freeze()
+    return cfg

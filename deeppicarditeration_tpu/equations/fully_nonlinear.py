@@ -1,0 +1,126 @@
+"""Fully-nonlinear (Hessian-dependent) 100-d benchmark equation.
+
+Reference parity: equations.py:388-487 (GBMEquationComplexExact). The PDE
+
+    u_t + 1/2 u_xx + 1/4 sum_i |u_ii| - f(t, x) = 0
+
+is manufactured so the exact solution is a 2-neuron sine network
+
+    u(t, x) = sum_k v^k sin(w_0^k t + sum_i w_i^k x_i)
+
+with weights generated deterministically from a seed (the reference
+loads/saves CWD ``gbm_2nodes_{w,v}_{nx}d.pt`` files, equations.py:408-419;
+here seeding replaces file persistence, survey §7.1.11).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from deeppicarditeration_tpu.equations.base import (
+    SimpleDiffusionWithHessian,
+    register_equation,
+)
+
+
+@register_equation
+@struct.dataclass
+class GBMEquationComplexExact(SimpleDiffusionWithHessian):
+    nx: int = struct.field(pytree_node=False, default=100)
+    T: float = struct.field(pytree_node=False, default=1.0)
+    alpha: float = struct.field(pytree_node=False, default=1.0)
+    # the 2-neuron exact-solution network: w (m, 1+nx), v (m, 1)
+    w: jnp.ndarray = None
+    v: jnp.ndarray = None
+
+    supported_approximate_methods = ("SDGD",)
+
+    @classmethod
+    def create(cls, nx: int = 100, alpha: float = 1.0, T: float = 1.0,
+               seed: int = 0, num_neurons: int = 2):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), hash("gbm_wv") % (2**31))
+        kw, kv = jax.random.split(key)
+        w = jax.random.normal(kw, (num_neurons, 1 + nx)) / math.sqrt(nx)
+        w = w.at[:, 0].set(1.0)
+        v = jax.random.normal(kv, (num_neurons, 1))
+        return cls(nx=nx, T=T, alpha=alpha, w=w, v=v)
+
+    # --- exact solution and derivatives (closed form) ---------------------
+    def _tx(self, t, x):
+        t_b = jnp.broadcast_to(jnp.asarray(t, x.dtype), x[..., :1].shape)
+        return jnp.concatenate([t_b, x], axis=-1)
+
+    def exact_solution(self, t, x):
+        return jnp.sin(self._tx(t, x) @ self.w.T) @ self.v
+
+    def u_t(self, t, x):
+        return jnp.cos(self._tx(t, x) @ self.w.T) @ (self.v * self.w[:, 0:1])
+
+    def u_x(self, t, x):
+        return jnp.cos(self._tx(t, x) @ self.w.T) @ (self.v * self.w[:, 1:])
+
+    def u_u_x(self, t, x):
+        arg = self._tx(t, x) @ self.w.T
+        return jnp.sin(arg) @ self.v, jnp.cos(arg) @ (self.v * self.w[:, 1:])
+
+    def u_hessian(self, t, x):
+        sin_term = -jnp.sin(self._tx(t, x) @ self.w.T)  # (..., m)
+        wx = self.w[:, 1:]  # (m, nx)
+        outer = wx[:, :, None] * wx[:, None, :]  # (m, nx, nx)
+        weights = self.v[:, :, None] * outer  # (m, nx, nx)
+        return jnp.einsum("...j,jkl->...kl", sin_term, weights)
+
+    def u_hessian_diag(self, t, x):
+        """Diagonal of the exact Hessian without materializing (nx, nx)."""
+        sin_term = -jnp.sin(self._tx(t, x) @ self.w.T)  # (..., m)
+        return sin_term @ (self.v * self.w[:, 1:] ** 2)  # via (m, nx) weights
+
+    def laplacian(self, t, x):
+        sin_term = jnp.sin(self._tx(t, x) @ self.w.T)
+        return -sin_term @ (self.v * jnp.sum(self.w[:, 1:] ** 2, axis=-1,
+                                             keepdims=True))
+
+    # --- terminal condition ------------------------------------------------
+    def g(self, x):
+        return self.exact_solution(self.T, x)
+
+    def g_x(self, x):
+        return self.u_x(self.T, x)
+
+    # --- nonlinearity ------------------------------------------------------
+    def ffi(self, t, x, y, u_ii):
+        """Nonlinearity from (sampled) diagonal Hessian entries u_ii.
+
+        reference parity: equations.py:457-466. ``u_ii`` may hold only a
+        subsample of diagonal entries; d * mean(u_ii) is the SDGD estimator
+        of the trace.
+        """
+        d = float(self.nx)
+        lap_est = d * jnp.mean(u_ii, axis=-1, keepdims=True)
+        nonlinear = d * jnp.mean(jnp.abs(u_ii), axis=-1, keepdims=True)
+        exact_diag = self.u_hessian_diag(t, x)
+        source = (self.u_t(t, x) + 0.5 * self.laplacian(t, x)
+                  + 0.25 * jnp.sum(jnp.abs(exact_diag), axis=-1, keepdims=True))
+        return (0.5 * (1.0 - self.alpha) * lap_est + 0.25 * nonlinear - source)
+
+    def ffh(self, t, x, y, w, hess):
+        u_ii = jnp.diagonal(hess, axis1=-2, axis2=-1)
+        return self.ffi(t, x, y, u_ii)
+
+    def pinn_function(self, t, x, u, u_t, u_x, u_ii):
+        """PINN residual with SDGD-sampled diagonal (equations.py:472-483)."""
+        d = float(self.nx)
+        lap_est = d * jnp.mean(u_ii, axis=-1, keepdims=True)
+        nonlinear = d * jnp.mean(jnp.abs(u_ii), axis=-1, keepdims=True)
+        exact_diag = self.u_hessian_diag(t, x)
+        source = (self.u_t(t, x) + 0.5 * self.laplacian(t, x)
+                  + 0.25 * jnp.sum(jnp.abs(exact_diag), axis=-1, keepdims=True))
+        return u_t + 0.5 * lap_est + 0.25 * nonlinear - source
+
+    def sample_x0(self, key, n: int, dtype=jnp.float32):
+        del key
+        return jnp.zeros((n, self.nx), dtype=dtype)

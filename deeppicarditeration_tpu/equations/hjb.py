@@ -1,0 +1,133 @@
+"""100-d HJB benchmark: OU-drift log-density equation with GMM terminal.
+
+Reference parity: equations.py:489-715 (ComplexDiffusionEquation +
+OUProcessEquation). The PDE
+
+    u_t + alpha/2 u_xx - <theta (mu - x), u_x> - alpha/2 |u_x|^2 - d theta = 0
+
+has exact solution u(t, x) = -log p_{GMM(T - t)}(x), where GMM(tau) is the
+terminal Gaussian mixture propagated backward through the OU process:
+
+    mean_i(tau) = mu + (m_i - mu) e^{-theta tau}
+    var_i(tau)  = v_i e^{-2 theta tau} + alpha/(2 theta) (1 - e^{-2 theta tau})
+
+(equations.py:631-655). Crucially, the OU drift is absorbed into the
+nonlinearity ``ff`` (equations.py:660-666) so the forward sampling stays a
+drift-free Brownian jump — the inherited one-shot transition is exact.
+
+The GMM parameters are generated deterministically from a seed instead of
+the reference's CWD-relative ``.pt`` files (equations.py:525-544; those
+shipped files are effectively unused anyway, survey §2 row 7).
+
+The exact solution vectorizes the per-sample GMM propagation over t in one
+shot (the reference loops over the batch in Python, equations.py:650-652;
+survey §7.3.6 flags this as a hard part — here it is a single broadcast).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from deeppicarditeration_tpu.distributions import (
+    DiagGaussian,
+    DiagGaussianMixture,
+    make_random_gmm,
+)
+from deeppicarditeration_tpu.equations.base import (
+    EquationMethods,
+    register_equation,
+)
+
+
+@register_equation
+@struct.dataclass
+class OUProcessEquation(EquationMethods):
+    # static scalars
+    nx: int = struct.field(pytree_node=False, default=100)
+    T: float = struct.field(pytree_node=False, default=1.0)
+    alpha: float = struct.field(pytree_node=False, default=1.0)
+    theta: float = struct.field(pytree_node=False, default=1.0)
+    mu: float = struct.field(pytree_node=False, default=0.0)
+    alpha_scale: float = struct.field(pytree_node=False, default=4.0)
+    # GMM terminal-condition parameters (pytree leaves)
+    gmm_means: jnp.ndarray = None
+    gmm_vars: jnp.ndarray = None
+    gmm_log_weights: jnp.ndarray = None
+
+    has_gradient_term = True
+
+    @classmethod
+    def create(cls, nx: int = 100, T: float = 1.0, theta: float = 1.0,
+               mu: float = 0.0, alpha: float = 1.0, num_components: int = 2,
+               mean_scale: float = 1.0, var_scale: float = 2.0,
+               alpha_scale: float = 4.0, seed: int = 0):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), hash("ou_gmm") % (2**31))
+        gmm = make_random_gmm(key, nx, num_components, mean_scale, var_scale)
+        return cls(nx=nx, T=T, alpha=alpha, theta=theta, mu=mu,
+                   alpha_scale=alpha_scale, gmm_means=gmm.means,
+                   gmm_vars=gmm.vars, gmm_log_weights=gmm.log_weights)
+
+    # --- distributions ----------------------------------------------------
+    @property
+    def gmm_terminal(self) -> DiagGaussianMixture:
+        return DiagGaussianMixture(self.gmm_means, self.gmm_vars,
+                                   self.gmm_log_weights)
+
+    @property
+    def gaussian_init(self) -> DiagGaussian:
+        var0 = self.alpha_scale * self.alpha
+        return DiagGaussian(
+            mean=jnp.zeros((self.nx,), dtype=self.gmm_means.dtype),
+            var=jnp.full((self.nx,), var0, dtype=self.gmm_means.dtype),
+        )
+
+    def gmm_at(self, tau):
+        """GMM propagated for time tau through the OU process.
+
+        tau: (..., 1). Returns a mixture with leading batch dims matching tau
+        (equations.py:631-648, fully vectorized over the batch).
+        """
+        e = jnp.exp(-self.theta * tau)  # (..., 1)
+        e2 = e * e
+        stat_var = self.alpha / (2.0 * self.theta)
+        means_t = self.mu + (self.gmm_means - self.mu) * e[..., None]
+        vars_t = self.gmm_vars * e2[..., None] + stat_var * (1.0 - e2[..., None])
+        lw = jnp.broadcast_to(self.gmm_log_weights,
+                              tau.shape[:-1] + self.gmm_log_weights.shape)
+        return DiagGaussianMixture(means_t, vars_t, lw)
+
+    # --- PDE terms ---------------------------------------------------------
+    def F(self, t, x):
+        return self.theta * (self.mu - x)
+
+    def ff(self, t, x, y, w):
+        """-<F, w> - alpha/2 |w|^2 - d theta (equations.py:660-666)."""
+        drift = jnp.sum(self.F(t, x) * w, axis=-1, keepdims=True)
+        quad = jnp.sum(w * w, axis=-1, keepdims=True)
+        return -drift - 0.5 * self.alpha * quad - self.nx * self.theta * jnp.ones_like(y)
+
+    def fff(self, t, x, y, z):
+        return self.ff(t, x, y, self.alpha_sqrt * z)
+
+    def ffh(self, t, x, y, w, hess):
+        return self.ff(t, x, y, w)
+
+    # --- terminal condition -------------------------------------------------
+    def g(self, x):
+        return -self.gmm_terminal.log_prob(x)
+
+    def g_x(self, x):
+        return -self.gmm_terminal.grad_log_prob(x)
+
+    # --- exact solution ----------------------------------------------------
+    def exact_solution(self, t, x):
+        return -self.gmm_at(self.T - t).log_prob(x)
+
+    def u_x(self, t, x):
+        return -self.gmm_at(self.T - t).grad_log_prob(x)
+
+    def sample_x0(self, key, n: int, dtype=jnp.float32):
+        x0 = self.gaussian_init.sample(key, n)
+        return x0.astype(dtype)

@@ -1,0 +1,145 @@
+"""Solution-ansatz networks (flax.linen).
+
+Reference parity: construct_mlp (solution.py:123-135), PISGradNet
+(solution.py:138-289), PicardSolutionEnforceTerminal
+(solution_enforce_terminal.py:9-27). Inputs are ``tx`` of shape
+(..., 1 + nx); output dim is 1 (Value), 1 + nx (ValueGradient) or nx
+(OnlyGradient) per NETWORK.TYPE (solution.py:304-311).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_ACTIVATIONS = {
+    "Tanh": jnp.tanh,
+    "ELU": jax.nn.elu,
+    "ReLU": jax.nn.relu,
+    "GELU": jax.nn.gelu,
+    "SiLU": jax.nn.silu,
+    "Swish": jax.nn.silu,
+    "Sigmoid": jax.nn.sigmoid,
+    "Softplus": jax.nn.softplus,
+    "Sin": jnp.sin,
+}
+
+
+def get_activation(name: str) -> Callable:
+    if name not in _ACTIVATIONS:
+        raise ValueError(f"Unknown activation {name!r}; known: {sorted(_ACTIVATIONS)}")
+    return _ACTIVATIONS[name]
+
+
+class MLP(nn.Module):
+    """Plain MLP with per-layer activations and optional output clamp.
+
+    Matches construct_mlp semantics (solution.py:123-135): hidden widths
+    ``neurons`` with ``activations`` after each hidden layer, a final linear
+    head, and an optional hardtanh-style clamp to [-bound, bound].
+    """
+
+    neurons: Sequence[int]
+    activations: Sequence[str]
+    out_dim: int
+    bound: Optional[float] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tx):
+        h = tx
+        assert len(self.neurons) == len(self.activations)
+        for width, act in zip(self.neurons, self.activations):
+            h = nn.Dense(width, param_dtype=self.param_dtype)(h)
+            h = get_activation(act)(h)
+        h = nn.Dense(self.out_dim, param_dtype=self.param_dtype)(h)
+        if self.bound is not None:
+            assert self.bound > 0
+            h = jnp.clip(h, -self.bound, self.bound)
+        return h
+
+
+class PISGradNet(nn.Module):
+    """Terminal-aware architecture for the HJB configs.
+
+    Reference parity: solution.py:138-289. Sinusoidal time embedding with a
+    learned phase; a smoothing gate interpolating between <net(t, x), x> and
+    the decayed terminal condition g0(e^{-lbd/2} x). Output dim is 1.
+    ``g0`` is the equation's terminal function (a traced closure; it carries
+    no parameters).
+    """
+
+    hidden_shapes: Sequence[int]
+    dim: int
+    g0: Callable = None
+    T: float = 1.0
+    channels: int = 64
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.timestep_phase = self.param(
+            "timestep_phase", nn.initializers.zeros, (1, self.channels),
+            self.param_dtype)
+        self.timestep_coeff = jnp.linspace(0.1, 100.0, self.channels)[None, :]
+        self.t_encoder = [nn.Dense(self.channels, param_dtype=self.param_dtype)
+                          for _ in range(2)]
+        n_smooth = 2 + len(self.hidden_shapes)
+        widths = [self.channels] * (1 + len(self.hidden_shapes)) + [self.dim]
+        self.smooth_net = [nn.Dense(w, param_dtype=self.param_dtype)
+                           for w in widths]
+        del n_smooth
+        self.nn_module = [nn.Dense(w, param_dtype=self.param_dtype)
+                          for w in list(self.hidden_shapes) + [self.dim]]
+
+    def _timestep_embedding(self, lbd):
+        arg = self.timestep_coeff.astype(lbd.dtype) * lbd + self.timestep_phase
+        return jnp.concatenate([jnp.sin(arg), jnp.cos(arg)], axis=-1)
+
+    def _smooth(self, emb):
+        h = emb
+        h = self.smooth_net[0](h)
+        for layer in self.smooth_net[1:]:
+            h = layer(jax.nn.elu(h))
+        return h[..., 0:1]
+
+    def __call__(self, tx):
+        lbd, x = tx[..., 0:1], tx[..., 1:]
+        lbd = self.T - lbd
+
+        emb = self._timestep_embedding(lbd)
+        zero_emb = self._timestep_embedding(jnp.zeros_like(lbd))
+        smooth = self._smooth(emb) - self._smooth(zero_emb)
+
+        t_emb = self.t_encoder[0](emb)
+        t_emb = self.t_encoder[1](jax.nn.elu(t_emb))
+
+        h = jnp.concatenate([t_emb, x], axis=-1)
+        for layer in self.nn_module[:-1]:
+            h = jax.nn.elu(layer(h))
+        net_out = self.nn_module[-1](h)
+
+        sp_out = jnp.sum(net_out * x, axis=-1, keepdims=True)
+        decay = jnp.exp(-0.5 * lbd)
+        residual = self.g0(decay * x)
+        return smooth * sp_out + (1.0 - smooth) * residual
+
+
+class EnforceTerminal(nn.Module):
+    """u(t, x) = anchor(x) + (T - t) * net(tx).
+
+    Reference parity: PicardSolutionEnforceTerminal
+    (solution_enforce_terminal.py:9-27). ``anchor`` is g for the value form
+    or g_x for the gradient form; the network's output dim must match.
+    """
+
+    inner: nn.Module
+    anchor: Callable
+    T: float = 1.0
+
+    @nn.compact
+    def __call__(self, tx):
+        t, x = tx[..., 0:1], tx[..., 1:]
+        return self.anchor(x) + (self.T - t) * self.inner(tx)

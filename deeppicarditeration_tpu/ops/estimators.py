@@ -1,0 +1,528 @@
+"""Monte-Carlo target generation: the computational core of DPI.
+
+Reference parity: data.py:369-1223 (OnlineDataGenerator). For each
+collocation point (t, x) and M i.i.d. samples the Picard target is
+
+    u_hat(t, x) = terminal + integral
+    terminal = E[(g(X_T) - g(x)) (1, Y)] + (g(x), 0),   Y = dW / sqrt(T-t) / sqrt(a)
+    integral = E[(T-t) (f(s, X_s, u_k, grad u_k) - f0) (1, Ys)] + (f0 (T-t), 0)
+               s ~ U[t, T],  Ys = dW / sqrt(s-t) / sqrt(a),  f0 = f at (t, x)
+
+(data.py:471-527, 899-926; the g(x)/f0 subtractions are variance-reducing
+control variates). Hessian targets use the split-increment / antithetic
+"double" forms (data.py:823-897, 1153-1201).
+
+TPU-first design (survey §7.1.3-4): the M-sample reduction is a
+``lax.scan`` over static-size chunks with Kahan-compensated f32
+accumulation — the (batch * M, nx) intermediate of the reference is never
+materialized, and chunk size is a static ahead-of-time choice (the entire
+GPU OOM-probing subsystem, memory.py, disappears). Outer-product Hessian
+accumulations contract over the chunk axis with einsum (batched matmul on
+the MXU) instead of materializing (B, M, nx, nx).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from deeppicarditeration_tpu.models.solution import Solution
+from deeppicarditeration_tpu.ops.derivatives import (
+    diag_hessian_entries,
+    get_f,
+)
+from deeppicarditeration_tpu.ops.samplers import sample_t_picard, sample_t_uniform
+from deeppicarditeration_tpu.ops.summation import KahanAcc
+
+
+@dataclasses.dataclass(frozen=True)
+class GenConfig:
+    """Static generation parameters (hashable; safe to close over in jit)."""
+
+    n_estimate_terminal: int = 1
+    n_estimate_integral: int = 1
+    chunk_elems: int = 2 ** 22  # target B * m_chunk * nx elements per step
+    t_always_uniform: bool = False
+    t_uniform_eps: float = 0.0
+    N: int = 1  # total Picard iterations (t power law)
+    i: int = 1  # current iteration
+    sample_bound: Optional[float] = None
+    sdgd_v: Optional[int] = None  # SDGD sampled-diagonal width (None => full)
+    estimate_delta_t: float = 0.0  # >0 => TD (short-horizon) estimators
+
+    def chunk(self, m: int, batch: int, nx: int) -> int:
+        """Largest divisor of m with batch * chunk * nx <= chunk_elems."""
+        target = max(1, self.chunk_elems // max(batch * nx, 1))
+        mc = min(m, target)
+        while m % mc:
+            mc -= 1
+        return mc
+
+
+def _scan_mean(key, m: int, mc: int, out_shape, chunk_sum_fn, dtype):
+    """sum_{c} chunk_sum_fn(key_c, c) / m with Kahan accumulation."""
+    n_chunks = m // mc
+    acc0 = KahanAcc.zeros(out_shape, dtype=dtype)
+
+    def body(acc, ck):
+        k = jax.random.fold_in(key, ck)
+        return acc.add(chunk_sum_fn(k, ck)), None
+
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_chunks))
+    return acc.value / m
+
+
+def _sdgd_indices(key, shape, nx: int):
+    return jax.random.randint(key, shape, 0, nx, dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# value-only estimators (data.py:438-469)
+# ---------------------------------------------------------------------------
+
+def estimate_terminal(key, eq, tx, gen: GenConfig):
+    """E g(X_T) per point; (B, 1)."""
+    t, x = tx[:, :1], tx[:, 1:]
+    b, nx = x.shape
+    m = gen.n_estimate_terminal
+    mc = gen.chunk(m, b, nx)
+    sqrt_Tt = jnp.sqrt(eq.T - t)
+
+    def chunk_sum(k, ck):
+        dW = jax.random.normal(k, (b, mc, nx), dtype=x.dtype)
+        XT = x[:, None, :] + sqrt_Tt[:, None, :] * eq.alpha_sqrt * dW
+        return jnp.sum(eq.g(XT), axis=1)
+
+    return _scan_mean(key, m, mc, (b, 1), chunk_sum, x.dtype)
+
+
+def estimate_integral(key, eq, sol: Solution, tx, gen: GenConfig):
+    """E (T - t) f(s, X_s, u_k(s, X_s), ...), s ~ U[t, T]; (B, 1).
+
+    Unlike the reference (which calls equation.f and therefore only
+    supports gradient-free equations here, data.py:454-469), this routes
+    through get_f so the MC self-consistency evaluator works for every
+    equation family.
+    """
+    t, x = tx[:, :1], tx[:, 1:]
+    b, nx = x.shape
+    m = gen.n_estimate_integral
+    mc = gen.chunk(m, b, nx)
+
+    def chunk_sum(k, ck):
+        ks, kw, kh = jax.random.split(k, 3)
+        u01 = jax.random.uniform(ks, (b, mc, 1), dtype=x.dtype)
+        s = t[:, None, :] + u01 * (eq.T - t)[:, None, :]
+        dW = jax.random.normal(kw, (b, mc, nx), dtype=x.dtype)
+        Xs = x[:, None, :] + jnp.sqrt(s - t[:, None, :]) * eq.alpha_sqrt * dW
+        idx = (_sdgd_indices(kh, (b, mc, gen.sdgd_v), nx)
+               if (eq.has_hessian_term and gen.sdgd_v) else None)
+        f = get_f(eq, sol, s, Xs, hess_indices=idx, hutchinson_key=kh)
+        return jnp.sum((eq.T - t)[:, None, :] * f, axis=1)
+
+    return _scan_mean(key, m, mc, (b, 1), chunk_sum, x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# value + gradient estimators (data.py:471-527, 899-926)
+# ---------------------------------------------------------------------------
+
+def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
+    """E[(g(X_T) - g(x)) (1, Y)] + (g(x), 0); (B, 1 + nx)."""
+    t, x = tx[:, :1], tx[:, 1:]
+    b, nx = x.shape
+    m = gen.n_estimate_terminal
+    mc = gen.chunk(m, b, nx)
+    g0 = eq.g(x)  # (B, 1) control-variate baseline
+    sqrt_Tt = jnp.sqrt(eq.T - t)
+    inv_y = 1.0 / (sqrt_Tt * eq.alpha_sqrt)  # Y = dW * inv_y
+
+    def chunk_sum(k, ck):
+        dW = jax.random.normal(k, (b, mc, nx), dtype=x.dtype)
+        XT = x[:, None, :] + sqrt_Tt[:, None, :] * eq.alpha_sqrt * dW
+        diff = eq.g(XT) - g0[:, None, :]  # (B, mc, 1)
+        val = jnp.sum(diff, axis=1)  # (B, 1)
+        # sum_m diff * Y: contract over the chunk axis (no (B,mc,nx) output)
+        grad = jnp.einsum("bmo,bmn->bn", diff, dW) * inv_y
+        return jnp.concatenate([val, grad], axis=-1)
+
+    mean = _scan_mean(key, m, mc, (b, 1 + nx), chunk_sum, x.dtype)
+    return mean.at[:, 0:1].add(g0)
+
+
+def _baseline_f(eq, sol: Solution, t, x, key, gen: GenConfig):
+    """f at the collocation point itself (the integral CV baseline).
+
+    Returns (f0, d0): f0 (B, 1) for the plain case; d0 (B, nx) full
+    diagonal-Hessian entries at (t, x) when SDGD is active — the reference
+    evaluates the baseline nonlinearity on the *sampled index subset*
+    (data.py:1276-1302), so f0 is then recomputed per-sample in-chunk.
+    """
+    if eq.has_hessian_term and gen.sdgd_v:
+        full_idx = jnp.broadcast_to(jnp.arange(x.shape[-1], dtype=jnp.int32),
+                                    x.shape)
+        d0 = diag_hessian_entries(sol, t, x, full_idx)
+        return None, d0
+    f0 = get_f(eq, sol, t, x, hutchinson_key=key)
+    return f0, None
+
+
+def _baseline_f_at_indices(eq, sol: Solution, t, x, d0, idx):
+    """SDGD baseline f0 per sampled index subset (B, mc, 1)."""
+    u0 = sol.value(jnp.concatenate([t, x], axis=-1))  # (B, 1)
+    u_ii0 = jnp.take_along_axis(
+        jnp.broadcast_to(d0[:, None, :], idx.shape[:-1] + d0.shape[-1:]),
+        idx, axis=-1)  # (B, mc, v)
+    t_b = jnp.broadcast_to(t[:, None, :], idx.shape[:-1] + (1,))
+    x_b = jnp.broadcast_to(x[:, None, :], idx.shape[:-1] + x.shape[-1:])
+    u_b = jnp.broadcast_to(u0[:, None, :], idx.shape[:-1] + (1,))
+    return eq.ffi(t_b, x_b, u_b, u_ii0)
+
+
+def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
+                                     gen: GenConfig):
+    """E[(T-t)(f - f0)(1, Ys)] + (f0 (T-t), 0); (B, 1 + nx)."""
+    t, x = tx[:, :1], tx[:, 1:]
+    b, nx = x.shape
+    m = gen.n_estimate_integral
+    mc = gen.chunk(m, b, nx)
+    k_base, k_scan = jax.random.split(key)
+    f0, d0 = _baseline_f(eq, sol, t, x, k_base, gen)
+    Tt = (eq.T - t)
+
+    def chunk_sum(k, ck):
+        ks, kw, kh, kb = jax.random.split(k, 4)
+        u01 = jax.random.uniform(ks, (b, mc, 1), dtype=x.dtype)
+        s = t[:, None, :] + u01 * Tt[:, None, :]
+        dW = jax.random.normal(kw, (b, mc, nx), dtype=x.dtype)
+        st = s - t[:, None, :]
+        Xs = x[:, None, :] + jnp.sqrt(st) * eq.alpha_sqrt * dW
+        idx = (_sdgd_indices(kh, (b, mc, gen.sdgd_v), nx)
+               if (eq.has_hessian_term and gen.sdgd_v) else None)
+        f = get_f(eq, sol, s, Xs, hess_indices=idx, hutchinson_key=kh)
+        if idx is not None:
+            f0_b = _baseline_f_at_indices(eq, sol, t, x, d0, idx)
+        else:
+            f0_b = f0[:, None, :]
+        diff = Tt[:, None, :] * (f - f0_b)  # (B, mc, 1)
+        val = jnp.sum(diff, axis=1)
+        if idx is not None:
+            # with a per-sample baseline the value slot keeps +f0_b (T-t)
+            val = val + jnp.sum(Tt[:, None, :] * f0_b, axis=1)
+        inv_y = 1.0 / (jnp.sqrt(st) * eq.alpha_sqrt)  # (B, mc, 1)
+        grad = jnp.einsum("bmo,bmn->bn", diff * inv_y, dW)
+        return jnp.concatenate([val, grad], axis=-1)
+
+    mean = _scan_mean(k_scan, m, mc, (b, 1 + nx), chunk_sum, x.dtype)
+    if f0 is not None:
+        mean = mean.at[:, 0:1].add(f0 * Tt)
+    return mean
+
+
+# ---------------------------------------------------------------------------
+# value + gradient + Hessian ("double" antithetic forms,
+# data.py:823-897 and 1153-1201 — the live variants per data.py:1220-1223)
+# ---------------------------------------------------------------------------
+
+def estimate_terminal_with_gradients_and_hessians(key, eq, tx,
+                                                  gen: GenConfig):
+    """(B, 1 + nx + nx^2): value/gradient part + antithetic Hessian part."""
+    t, x = tx[:, :1], tx[:, 1:]
+    b, nx = x.shape
+    m = gen.n_estimate_terminal
+    mc = gen.chunk(m, b, nx)
+    g0 = eq.g(x)
+    sqrt_Tt = jnp.sqrt(eq.T - t)
+    inv_y = 1.0 / (sqrt_Tt * eq.alpha_sqrt)
+    Tt = eq.T - t
+
+    def chunk_sum(k, ck):
+        kw, kh = jax.random.split(k)
+        # value/gradient: one-shot jump (two half-jumps compose to this)
+        dW = jax.random.normal(kw, (b, mc, nx), dtype=x.dtype)
+        XT = x[:, None, :] + sqrt_Tt[:, None, :] * eq.alpha_sqrt * dW
+        diff = eq.g(XT) - g0[:, None, :]
+        val = jnp.sum(diff, axis=1)
+        grad = jnp.einsum("bmo,bmn->bn", diff, dW) * inv_y
+        # Hessian: antithetic second difference (data.py:1185-1198)
+        #   W1 ~ sqrt(T-t) N(0, I);  X± = x ± sqrt(a) W1
+        #   dlt = (g(X+) + g(X-) - 2 g(x)) / 2 / (T-t)
+        #   H = E[dlt W1 W1^T / (T-t)] - E[dlt] I
+        W1 = sqrt_Tt[:, None, :] * jax.random.normal(kh, (b, mc, nx),
+                                                     dtype=x.dtype)
+        Xp = x[:, None, :] + eq.alpha_sqrt * W1
+        Xm = x[:, None, :] - eq.alpha_sqrt * W1
+        dlt = (eq.g(Xp) + eq.g(Xm) - 2.0 * g0[:, None, :]) / 2.0 / Tt[:, None, :]
+        w = dlt / Tt[:, None, :]  # (B, mc, 1)
+        part1 = jnp.einsum("bmi,bmj->bij", w[..., 0:1] * W1, W1)
+        dlt_sum = jnp.sum(dlt, axis=1)  # (B, 1)
+        eye = jnp.eye(nx, dtype=x.dtype)
+        hess = part1 - dlt_sum[:, :, None] * eye[None]
+        return jnp.concatenate([val, grad, hess.reshape(b, nx * nx)], axis=-1)
+
+    mean = _scan_mean(key, m, mc, (b, 1 + nx + nx * nx), chunk_sum, x.dtype)
+    return mean.at[:, 0:1].add(g0)
+
+
+def estimate_integral_with_gradients_and_hessians(key, eq, sol: Solution,
+                                                  tx, gen: GenConfig):
+    """(B, 1 + nx + nx^2) integral part (data.py:823-897, "double" form)."""
+    t, x = tx[:, :1], tx[:, 1:]
+    b, nx = x.shape
+    m = gen.n_estimate_integral
+    mc = gen.chunk(m, b, nx)
+    k_base, k_scan = jax.random.split(key)
+    f0 = get_f(eq, sol, t, x, hutchinson_key=k_base)  # full-Hessian baseline
+    Tt = eq.T - t
+
+    def chunk_sum(k, ck):
+        ks, kw, kh = jax.random.split(k, 3)
+        u01 = jax.random.uniform(ks, (b, mc, 1), dtype=x.dtype)
+        # the reference offsets s by 1e-4 to keep (s - t) bounded away from 0
+        # in the 1/(s-t)^2 Hessian weight (data.py:848)
+        s = jnp.minimum(t[:, None, :] + u01 * Tt[:, None, :] + 1e-4, eq.T)
+        st = s - t[:, None, :]
+        dW = jax.random.normal(kw, (b, mc, nx), dtype=x.dtype)
+        Xs = x[:, None, :] + jnp.sqrt(st) * eq.alpha_sqrt * dW
+        f = get_f(eq, sol, s, Xs)
+        diff = Tt[:, None, :] * (f - f0[:, None, :])
+        val = jnp.sum(diff, axis=1)
+        inv_y = 1.0 / (jnp.sqrt(st) * eq.alpha_sqrt)
+        grad = jnp.einsum("bmo,bmn->bn", diff * inv_y, dW)
+        # antithetic Hessian part (data.py:879-894)
+        W2 = jnp.sqrt(st) * jax.random.normal(kh, (b, mc, nx), dtype=x.dtype)
+        Xp = x[:, None, :] + eq.alpha_sqrt * W2
+        Xm = x[:, None, :] - eq.alpha_sqrt * W2
+        fp = get_f(eq, sol, s, Xp)
+        fm = get_f(eq, sol, s, Xm)
+        dlt = (fp + fm - 2.0 * f0[:, None, :]) / 2.0 / st
+        w = dlt / st
+        part1 = jnp.einsum("bmi,bmj->bij", w[..., 0:1] * W2, W2)
+        dlt_sum = jnp.sum(dlt, axis=1)
+        eye = jnp.eye(nx, dtype=x.dtype)
+        hess = (part1 - dlt_sum[:, :, None] * eye[None]) * Tt[:, :, None]
+        return jnp.concatenate([val, grad, hess.reshape(b, nx * nx)], axis=-1)
+
+    mean = _scan_mean(k_scan, m, mc, (b, 1 + nx + nx * nx), chunk_sum,
+                      x.dtype)
+    return mean.at[:, 0:1].add(f0 * Tt)
+
+
+# ---------------------------------------------------------------------------
+# TD (short-horizon) estimators, ESTIMATE_DELTA_T > 0
+# (data.py:529-578, 928-952, 1037-1058)
+# ---------------------------------------------------------------------------
+
+def estimate_terminal_with_gradients_td(key, eq, sol: Solution, tx,
+                                        gen: GenConfig):
+    """Bootstrap terminal: g replaced by u_k(t_next, .) short of T."""
+    t, x = tx[:, :1], tx[:, 1:]
+    b, nx = x.shape
+    m = gen.n_estimate_terminal
+    mc = gen.chunk(m, b, nx)
+    t_next = jnp.minimum(t + gen.estimate_delta_t, eq.T)
+    g0 = eq.g(x)
+    sqrt_dt = jnp.sqrt(t_next - t)
+    inv_y = 1.0 / (sqrt_dt * eq.alpha_sqrt)
+    at_T = (t_next >= eq.T)
+
+    def chunk_sum(k, ck):
+        dW = jax.random.normal(k, (b, mc, nx), dtype=x.dtype)
+        XT = x[:, None, :] + sqrt_dt[:, None, :] * eq.alpha_sqrt * dW
+        t_next_b = jnp.broadcast_to(t_next[:, None, :], (b, mc, 1))
+        gT = jnp.where(at_T[:, None, :], eq.g(XT),
+                       sol.value(jnp.concatenate([t_next_b, XT], axis=-1)))
+        diff = gT - g0[:, None, :]
+        val = jnp.sum(diff, axis=1)
+        grad = jnp.einsum("bmo,bmn->bn", diff, dW) * inv_y
+        return jnp.concatenate([val, grad], axis=-1)
+
+    mean = _scan_mean(key, m, mc, (b, 1 + nx), chunk_sum, x.dtype)
+    return mean.at[:, 0:1].add(g0)
+
+
+def estimate_integral_with_gradients_td(key, eq, sol: Solution, tx,
+                                        gen: GenConfig):
+    """Integral over the short horizon [t, t_next] (data.py:529-578)."""
+    t, x = tx[:, :1], tx[:, 1:]
+    b, nx = x.shape
+    m = gen.n_estimate_integral
+    mc = gen.chunk(m, b, nx)
+    k_base, k_scan = jax.random.split(key)
+    t_next = jnp.minimum(t + gen.estimate_delta_t, eq.T)
+    f0, d0 = _baseline_f(eq, sol, t, x, k_base, gen)
+    horizon = t_next - t
+
+    def chunk_sum(k, ck):
+        ks, kw, kh = jax.random.split(k, 3)
+        u01 = jax.random.uniform(ks, (b, mc, 1), dtype=x.dtype)
+        s = t[:, None, :] + u01 * horizon[:, None, :]
+        st = s - t[:, None, :]
+        dW = jax.random.normal(kw, (b, mc, nx), dtype=x.dtype)
+        Xs = x[:, None, :] + jnp.sqrt(st) * eq.alpha_sqrt * dW
+        idx = (_sdgd_indices(kh, (b, mc, gen.sdgd_v), nx)
+               if (eq.has_hessian_term and gen.sdgd_v) else None)
+        f = get_f(eq, sol, s, Xs, hess_indices=idx, hutchinson_key=kh)
+        if idx is not None:
+            f0_b = _baseline_f_at_indices(eq, sol, t, x, d0, idx)
+        else:
+            f0_b = f0[:, None, :]
+        diff = horizon[:, None, :] * (f - f0_b)
+        val = jnp.sum(diff, axis=1)
+        if idx is not None:
+            val = val + jnp.sum(horizon[:, None, :] * f0_b, axis=1)
+        inv_y = 1.0 / (jnp.sqrt(st) * eq.alpha_sqrt)
+        grad = jnp.einsum("bmo,bmn->bn", diff * inv_y, dW)
+        return jnp.concatenate([val, grad], axis=-1)
+
+    mean = _scan_mean(k_scan, m, mc, (b, 1 + nx), chunk_sum, x.dtype)
+    if f0 is not None:
+        mean = mean.at[:, 0:1].add(f0 * horizon)
+    return mean
+
+
+def estimate_terminal_with_gradients_td_bygx(key, eq, sol: Solution, tx,
+                                             gen: GenConfig):
+    """Gradient head bootstrapped directly from g_x / previous gradient net
+    (data.py:1037-1058); value slot is zero."""
+    t, x = tx[:, :1], tx[:, 1:]
+    b, nx = x.shape
+    m = gen.n_estimate_terminal
+    mc = gen.chunk(m, b, nx)
+    t_next = jnp.minimum(t + gen.estimate_delta_t, eq.T)
+    at_T = (t_next >= eq.T)
+    sqrt_dt = jnp.sqrt(t_next - t)
+
+    def chunk_sum(k, ck):
+        dW = jax.random.normal(k, (b, mc, nx), dtype=x.dtype)
+        x_next = x[:, None, :] + sqrt_dt[:, None, :] * eq.alpha_sqrt * dW
+        gx = eq.g_x(x_next)
+        t_next_b = jnp.broadcast_to(t_next[:, None, :], (b, mc, 1))
+        out = sol(jnp.concatenate([t_next_b, x_next], axis=-1))
+        u_x = out[..., -nx:] if out.shape[-1] >= nx else jnp.zeros_like(x_next)
+        picked = jnp.where(at_T[:, None, :], gx, u_x)
+        grad = jnp.sum(picked, axis=1)
+        return jnp.concatenate([jnp.zeros((b, 1), x.dtype), grad], axis=-1)
+
+    return _scan_mean(key, m, mc, (b, 1 + nx), chunk_sum, x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# dispatchers (data.py:1203-1223) and two-layer formula (data.py:1328-1379)
+# ---------------------------------------------------------------------------
+
+def generate_values(key, eq, sol: Solution, tx, gen: GenConfig):
+    k1, k2 = jax.random.split(key)
+    return (estimate_terminal(k1, eq, tx, gen)
+            + estimate_integral(k2, eq, sol, tx, gen))
+
+
+def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
+    k1, k2 = jax.random.split(key)
+    if gen.estimate_delta_t > 0:
+        if sol.output_dim == 1:
+            g = estimate_terminal_with_gradients_td(k1, eq, sol, tx, gen)
+        else:
+            g = estimate_terminal_with_gradients_td_bygx(k1, eq, sol, tx, gen)
+        y = estimate_integral_with_gradients_td(k2, eq, sol, tx, gen)
+    else:
+        g = estimate_terminal_with_gradients(k1, eq, tx, gen)
+        y = estimate_integral_with_gradients(k2, eq, sol, tx, gen)
+    return g + y
+
+
+def generate_with_gradients_and_hessians(key, eq, sol: Solution, tx,
+                                         gen: GenConfig):
+    k1, k2 = jax.random.split(key)
+    return (estimate_terminal_with_gradients_and_hessians(k1, eq, tx, gen)
+            + estimate_integral_with_gradients_and_hessians(k2, eq, sol, tx,
+                                                            gen))
+
+
+def generate_two_layer(key, eq, sol: Solution, sol_m2: Solution, tx,
+                       gen: GenConfig):
+    """u_{k-1}(tx) + E (T-t) [f(u_{k-1}) - f(u_{k-2})] (data.py:1359-1379)."""
+    t, x = tx[:, :1], tx[:, 1:]
+    b, nx = x.shape
+    m = gen.n_estimate_integral
+    mc = gen.chunk(m, b, nx)
+
+    def chunk_sum(k, ck):
+        ks, kw = jax.random.split(k)
+        u01 = jax.random.uniform(ks, (b, mc, 1), dtype=x.dtype)
+        s = t[:, None, :] + u01 * (eq.T - t)[:, None, :]
+        dW = jax.random.normal(kw, (b, mc, nx), dtype=x.dtype)
+        Xs = x[:, None, :] + jnp.sqrt(s - t[:, None, :]) * eq.alpha_sqrt * dW
+        f1 = get_f(eq, sol, s, Xs)
+        f2 = get_f(eq, sol_m2, s, Xs)
+        return jnp.sum((eq.T - t)[:, None, :] * (f1 - f2), axis=1)
+
+    residual = _scan_mean(key, m, mc, (b, 1), chunk_sum, x.dtype)
+    return sol.value(tx) + residual
+
+
+# ---------------------------------------------------------------------------
+# batch sampling (tx draw + target generation, data.py:196-283)
+# ---------------------------------------------------------------------------
+
+def sample_tx(key, eq, n_batch: int, gen: GenConfig, dtype=jnp.float32):
+    kt, kx = jax.random.split(key)
+    if gen.t_always_uniform:
+        t = sample_t_uniform(kt, n_batch, eq.T, gen.t_uniform_eps, dtype)
+    else:
+        t = sample_t_picard(kt, n_batch, eq.T, gen.N, gen.i, dtype)
+    x = eq.sample_x(kx, t)
+    return jnp.concatenate([t, x], axis=-1)
+
+
+def _clip(u, gen: GenConfig):
+    if gen.sample_bound is not None:
+        return jnp.clip(u, -gen.sample_bound, gen.sample_bound)
+    return u
+
+
+def sample_batch(key, eq, sol: Solution, n_batch: int, gen: GenConfig,
+                 mode: str = "gradient", sol_m2: Optional[Solution] = None,
+                 dtype=jnp.float32):
+    """Draw collocation points and their MC targets.
+
+    mode: 'value' | 'gradient' | 'hessian' | 'exact' | 'exact_gradient' |
+    'exact_hessian' | 'two_layer' (dataset-variant table, data.py:1620-1661).
+    Returns (tx (B, 1+nx), targets (B, target_dim)).
+    """
+    k_tx, k_gen = jax.random.split(key)
+    tx = sample_tx(k_tx, eq, n_batch, gen, dtype)
+    t, x = tx[:, :1], tx[:, 1:]
+    if mode == "value":
+        u = generate_values(k_gen, eq, sol, tx, gen)
+    elif mode == "gradient":
+        u = generate_with_gradients(k_gen, eq, sol, tx, gen)
+    elif mode == "hessian":
+        u = generate_with_gradients_and_hessians(k_gen, eq, sol, tx, gen)
+    elif mode == "two_layer":
+        u = generate_two_layer(k_gen, eq, sol, sol_m2, tx, gen)
+    elif mode == "exact":
+        u = eq.exact_solution(t, x)
+    elif mode == "exact_gradient":
+        uu, ux = eq.u_u_x(t, x)
+        u = jnp.concatenate([uu, ux], axis=-1)
+    elif mode == "exact_hessian":
+        uu, ux, uh = eq.u_u_x_u_hessian(t, x)
+        u = jnp.concatenate([uu, ux, uh.reshape(n_batch, -1)], axis=-1)
+    else:
+        raise ValueError(f"Unknown generation mode {mode!r}")
+    return tx, _clip(u, gen)
+
+
+def target_dim(mode: str, nx: int) -> int:
+    """Target width per dataset variant (data.py:1620-1661)."""
+    if mode in ("value", "two_layer", "exact"):
+        return 1
+    if mode in ("gradient", "exact_gradient"):
+        return 1 + nx
+    if mode in ("hessian", "exact_hessian"):
+        return 1 + nx + nx * nx
+    raise ValueError(f"Unknown generation mode {mode!r}")
