@@ -26,6 +26,27 @@ VALUE_GRADIENT = "ValueGradient"
 ONLY_GRADIENT = "OnlyGradient"
 
 
+class _OracleModule:
+    """Module-like wrapper exposing an equation's exact (u, u_x)."""
+
+    __slots__ = ("eq",)
+
+    def __init__(self, eq):
+        self.eq = eq
+
+    def apply(self, params, tx):
+        del params
+        t, x = tx[..., 0:1], tx[..., 1:]
+        u, u_x = self.eq.u_u_x(t, x)
+        return jnp.concatenate([u, u_x], axis=-1)
+
+    def __hash__(self):
+        return id(self.eq)
+
+    def __eq__(self, other):
+        return isinstance(other, _OracleModule) and other.eq is self.eq
+
+
 def output_dim_for(net_type: str, nx: int, nu: int = 1) -> int:
     """NETWORK.TYPE -> output dim (reference parity: solution.py:304-311)."""
     if net_type == VALUE:
@@ -63,6 +84,17 @@ class Solution:
     def from_net(cls, module, params, net_type: str, nx: int) -> "Solution":
         return cls(params=params, module=module, kind="net",
                    net_type=net_type, nx=nx)
+
+    @classmethod
+    def oracle(cls, eq) -> "Solution":
+        """The equation's exact solution wrapped as a ValueGradient net.
+
+        Plugging the oracle in as the frozen iterate makes the Picard
+        target an identity in expectation (Feynman-Kac fixed point) — the
+        basis of the estimator unbiasedness tests and a diagnostics mode.
+        """
+        return cls(params=None, module=_OracleModule(eq), kind="net",
+                   net_type=VALUE_GRADIENT, nx=eq.nx)
 
     @classmethod
     def gx(cls, gfn, nx: int) -> "Solution":

@@ -1,0 +1,344 @@
+"""Estimator unbiasedness and derivative-operator correctness.
+
+The central property (survey §4 implication (a)): plugging the *exact*
+solution in as the frozen Picard iterate makes the MC target an identity in
+expectation — u_hat(t,x) -> (u, grad u)(t,x) as M -> inf (Feynman-Kac fixed
+point). We assert this within CLT bounds for every benchmark equation.
+A quadratic-terminal toy equation gives closed forms for the heat semigroup
+so the terminal estimator (value/gradient/Hessian heads) is tested exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import struct
+
+from deeppicarditeration_tpu.equations import make_equation
+from deeppicarditeration_tpu.equations.base import SimpleDiffusionWithoutZ
+from deeppicarditeration_tpu.models.networks import MLP
+from deeppicarditeration_tpu.models.solution import Solution
+from deeppicarditeration_tpu.ops import estimators as est
+from deeppicarditeration_tpu.ops.derivatives import (
+    diag_hessian_entries,
+    exact_laplacian,
+    full_hessian,
+    hutchinson_laplacian,
+)
+from deeppicarditeration_tpu.ops.samplers import sample_t_picard
+from deeppicarditeration_tpu.ops.summation import KahanAcc
+
+
+# --- toy equation with quadratic terminal: closed-form heat semigroup ------
+@struct.dataclass
+class QuadraticToy(SimpleDiffusionWithoutZ):
+    nx: int = struct.field(pytree_node=False, default=3)
+    T: float = struct.field(pytree_node=False, default=1.0)
+    alpha: float = struct.field(pytree_node=False, default=1.0)
+
+    def g(self, x):
+        # g(x) = |x|^2 + sum x + 1
+        return (jnp.sum(x * x, axis=-1, keepdims=True)
+                + jnp.sum(x, axis=-1, keepdims=True) + 1.0)
+
+    def g_x(self, x):
+        return 2.0 * x + 1.0
+
+    def f(self, t, x, y):
+        return jnp.zeros_like(y)
+
+
+def _mlp_solution(key, nx, net_type="Value"):
+    out_dim = {"Value": 1, "ValueGradient": 1 + nx, "OnlyGradient": nx}[net_type]
+    mod = MLP(neurons=(16, 16), activations=("Tanh", "Tanh"), out_dim=out_dim)
+    params = mod.init(key, jnp.zeros((1, 1 + nx)))
+    return Solution.from_net(mod, params, net_type, nx)
+
+
+# ---------------------------------------------------------------------------
+# terminal estimator vs closed-form heat semigroup
+# ---------------------------------------------------------------------------
+
+def test_terminal_estimator_heads_quadratic(key):
+    nx, b, m = 3, 8, 40000
+    eq = QuadraticToy(nx=nx)
+    gen = est.GenConfig(n_estimate_terminal=m, chunk_elems=2 ** 16)
+    kt, kx, ke = jax.random.split(key, 3)
+    t = jax.random.uniform(kt, (b, 1)) * 0.8
+    x = jax.random.normal(kx, (b, nx))
+    tx = jnp.concatenate([t, x], axis=-1)
+    out = est.estimate_terminal_with_gradients(ke, eq, tx, gen)
+    # E g(X_T) = g(x) + (T - t) * alpha * nx   (Laplacian of |x|^2 is 2 nx)
+    expected_val = np.asarray(eq.g(x) + (eq.T - t) * eq.alpha * nx)
+    expected_grad = np.asarray(eq.g_x(x))
+    np.testing.assert_allclose(np.asarray(out[:, :1]), expected_val,
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(out[:, 1:]), expected_grad,
+                               rtol=0.1, atol=0.12)
+
+
+def test_terminal_hessian_estimator_quadratic(key):
+    nx, b, m = 3, 4, 60000
+    eq = QuadraticToy(nx=nx)
+    gen = est.GenConfig(n_estimate_terminal=m, chunk_elems=2 ** 14)
+    kt, kx, ke = jax.random.split(key, 3)
+    t = jnp.full((b, 1), 0.5)
+    x = jax.random.normal(kx, (b, nx))
+    tx = jnp.concatenate([t, x], axis=-1)
+    out = est.estimate_terminal_with_gradients_and_hessians(ke, eq, tx, gen)
+    hess = np.asarray(out[:, 1 + nx:]).reshape(b, nx, nx)
+    np.testing.assert_allclose(hess, 2.0 * np.eye(nx)[None].repeat(b, 0),
+                               atol=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Feynman-Kac fixed point: oracle iterate => target == exact solution
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("eq_name", ["Cha", "OUProcessEquation"])
+def test_dpi_target_fixed_point(eq_name, key):
+    nx, b, m = 6, 8, 20000
+    kwargs = {"nx": nx, "T": 1.0, "alpha": 1.0}
+    if eq_name == "Cha":
+        kwargs["k"] = 5.0
+    else:
+        kwargs["num_components"] = 2
+    eq = make_equation(eq_name, seed=0, **kwargs)
+    sol = Solution.oracle(eq)
+    gen = est.GenConfig(n_estimate_terminal=m, n_estimate_integral=m,
+                        chunk_elems=2 ** 17)
+    kt, kx, ke = jax.random.split(key, 3)
+    t = jax.random.uniform(kt, (b, 1)) * 0.8
+    x = eq.sample_x(kx, t) * 0.5
+    tx = jnp.concatenate([t, x], axis=-1)
+    out = est.generate_with_gradients(ke, eq, sol, tx, gen)
+    u_exact = np.asarray(eq.exact_solution(t, x))
+    ux_exact = np.asarray(eq.u_x(t, x))
+    scale_u = max(1.0, np.abs(u_exact).max())
+    scale_g = max(1.0, np.abs(ux_exact).max())
+    np.testing.assert_allclose(np.asarray(out[:, :1]), u_exact,
+                               atol=0.06 * scale_u)
+    np.testing.assert_allclose(np.asarray(out[:, 1:]), ux_exact,
+                               atol=0.25 * scale_g)
+
+
+def test_dpi_value_only_fixed_point(key):
+    nx, b, m = 6, 8, 20000
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=5.0, T=1.0)
+    sol = Solution.oracle(eq)
+    gen = est.GenConfig(n_estimate_terminal=m, n_estimate_integral=m,
+                        chunk_elems=2 ** 17)
+    kt, kx, ke = jax.random.split(key, 3)
+    t = jax.random.uniform(kt, (b, 1)) * 0.8
+    x = jax.random.normal(kx, (b, nx)) * 0.5
+    tx = jnp.concatenate([t, x], axis=-1)
+    out = est.generate_values(ke, eq, sol, tx, gen)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(eq.exact_solution(t, x)), atol=0.05)
+
+
+def test_dpi_hessian_target_fixed_point(key):
+    nx, b, m = 4, 4, 30000
+    eq = make_equation("GBMEquationComplexExact", nx=nx, seed=0)
+    sol = Solution.oracle(eq)
+    gen = est.GenConfig(n_estimate_terminal=m, n_estimate_integral=m,
+                        chunk_elems=2 ** 14)
+    kt, kx, ke = jax.random.split(key, 3)
+    t = jax.random.uniform(kt, (b, 1)) * 0.5
+    x = jax.random.normal(kx, (b, nx)) * 0.5
+    tx = jnp.concatenate([t, x], axis=-1)
+    out = est.generate_with_gradients_and_hessians(ke, eq, sol, tx, gen)
+    u_exact = np.asarray(eq.exact_solution(t, x))
+    ux_exact = np.asarray(eq.u_x(t, x))
+    uh_exact = np.asarray(eq.u_hessian(t, x)).reshape(b, nx * nx)
+    np.testing.assert_allclose(np.asarray(out[:, :1]), u_exact, atol=0.1)
+    np.testing.assert_allclose(np.asarray(out[:, 1:1 + nx]), ux_exact,
+                               atol=0.3)
+    np.testing.assert_allclose(np.asarray(out[:, 1 + nx:]), uh_exact,
+                               atol=0.6)
+
+
+def test_sdgd_integral_matches_full_on_gbm(key):
+    """With v == nx, SDGD reduces to the full diagonal: targets must agree
+    in expectation with the no-approximation integral estimator."""
+    nx, b, m = 4, 4, 8000
+    eq = make_equation("GBMEquationComplexExact", nx=nx, seed=0)
+    sol = _mlp_solution(jax.random.fold_in(key, 7), nx)
+    kt, kx, ke = jax.random.split(key, 3)
+    t = jnp.full((b, 1), 0.3)
+    x = jax.random.normal(kx, (b, nx)) * 0.5
+    tx = jnp.concatenate([t, x], axis=-1)
+    gen_full = est.GenConfig(n_estimate_integral=m, chunk_elems=2 ** 14,
+                             sdgd_v=None)
+    gen_sdgd = est.GenConfig(n_estimate_integral=m, chunk_elems=2 ** 14,
+                             sdgd_v=nx)
+    out_full = est.estimate_integral_with_gradients(ke, eq, sol, tx, gen_full)
+    out_sdgd = est.estimate_integral_with_gradients(ke, eq, sol, tx, gen_sdgd)
+    np.testing.assert_allclose(np.asarray(out_full[:, 0]),
+                               np.asarray(out_sdgd[:, 0]), atol=0.2)
+
+
+# ---------------------------------------------------------------------------
+# derivative operators
+# ---------------------------------------------------------------------------
+
+def test_solution_value_and_grad_matches_jacrev(key):
+    nx = 5
+    sol = _mlp_solution(key, nx, "Value")
+    tx = jax.random.normal(jax.random.fold_in(key, 1), (7, 1 + nx))
+    u, g_tx = sol.value_and_grad_tx(tx)
+    jac = jax.vmap(jax.jacrev(lambda z: sol.value(z[None])[0, 0]))(tx)
+    np.testing.assert_allclose(np.asarray(g_tx), np.asarray(jac), rtol=1e-5,
+                               atol=1e-6)
+    t, x = tx[:, :1], tx[:, 1:]
+    u2, g_x = sol.value_and_grad_x(t, x)
+    np.testing.assert_allclose(np.asarray(g_x), np.asarray(jac[:, 1:]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u2), rtol=1e-6)
+
+
+def test_diag_hessian_entries_match_full(key):
+    nx = 5
+    sol = _mlp_solution(key, nx, "Value")
+    t = jnp.full((6, 1), 0.4)
+    x = jax.random.normal(jax.random.fold_in(key, 2), (6, nx))
+    H = full_hessian(sol, t, x)
+    idx = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.int32), (6, nx))
+    diag = diag_hessian_entries(sol, t, x, idx)
+    np.testing.assert_allclose(np.asarray(diag),
+                               np.asarray(jnp.diagonal(H, axis1=-2, axis2=-1)),
+                               rtol=1e-4, atol=1e-6)
+    lap = exact_laplacian(sol, t, x)
+    np.testing.assert_allclose(np.asarray(lap)[:, 0],
+                               np.asarray(jnp.trace(H, axis1=-2, axis2=-1)),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_hutchinson_unbiased(key):
+    nx = 4
+    sol = _mlp_solution(key, nx, "Value")
+    t = jnp.full((5, 1), 0.2)
+    x = jax.random.normal(jax.random.fold_in(key, 3), (5, nx))
+    lap = exact_laplacian(sol, t, x)
+    est_lap = hutchinson_laplacian(jax.random.fold_in(key, 4), sol, t, x, 512)
+    np.testing.assert_allclose(np.asarray(est_lap), np.asarray(lap),
+                               atol=0.15 * float(jnp.abs(lap).max()) + 0.02)
+
+
+# ---------------------------------------------------------------------------
+# infrastructure: Kahan accumulation, chunking, t-sampler, clipping
+# ---------------------------------------------------------------------------
+
+def test_kahan_beats_naive_f32():
+    # large constant + many tiny values: naive f32 loses the tail
+    n = 100_000
+    vals = np.full(n, 1e-4, np.float32)
+    vals[0] = 1e7
+    acc = KahanAcc.zeros((), jnp.float32)
+
+    def body(a, v):
+        return a.add(v), None
+
+    acc, _ = jax.lax.scan(body, acc, jnp.asarray(vals))
+    exact = float(np.sum(vals.astype(np.float64)))
+    naive = float(jnp.sum(jnp.asarray(vals)))
+    assert abs(float(acc.value) - exact) < 1e-3
+    assert abs(naive - exact) > abs(float(acc.value) - exact)
+
+
+def test_chunk_is_divisor():
+    gen = est.GenConfig(chunk_elems=1000)
+    for m in [1, 7, 4096, 4095]:
+        mc = gen.chunk(m, batch=32, nx=10)
+        assert m % mc == 0
+        assert mc >= 1
+
+
+def test_chunking_invariance(key):
+    """Different chunk sizes must give statistically identical estimates."""
+    nx, b, m = 4, 8, 4096
+    eq = QuadraticToy(nx=nx)
+    t = jnp.full((b, 1), 0.3)
+    x = jax.random.normal(key, (b, nx))
+    tx = jnp.concatenate([t, x], axis=-1)
+    outs = []
+    for chunk_elems in (2 ** 10, 2 ** 14, 2 ** 22):
+        gen = est.GenConfig(n_estimate_terminal=m, chunk_elems=chunk_elems)
+        outs.append(np.asarray(
+            est.estimate_terminal_with_gradients(key, eq, tx, gen)))
+    # all close to the semigroup mean (not bitwise equal: keys differ by chunk)
+    expected = np.asarray(eq.g(x) + (eq.T - t) * eq.alpha * nx)
+    for o in outs:
+        np.testing.assert_allclose(o[:, :1], expected, rtol=0.15, atol=0.15)
+
+
+def test_t_sampler_power_law(key):
+    # N - i + 1 = 1: t = T(1 - U) ~ U[0, T]
+    t = sample_t_picard(key, 200_000, T=2.0, N=3, i=3)
+    tn = np.asarray(t)
+    assert abs(tn.mean() - 1.0) < 0.01
+    # N - i + 1 = 2: E[prod U] = 1/4 -> E t = T * 3/4
+    t2 = sample_t_picard(key, 200_000, T=2.0, N=4, i=3)
+    assert abs(np.asarray(t2).mean() - 1.5) < 0.01
+
+
+def test_sample_batch_clipping(key):
+    nx = 4
+    eq = QuadraticToy(nx=nx)
+    sol = Solution.zero(nx)
+    gen = est.GenConfig(n_estimate_terminal=64, n_estimate_integral=64,
+                        sample_bound=0.5, t_always_uniform=True)
+    tx, u = est.sample_batch(key, eq, sol, 32, gen, mode="gradient")
+    assert tx.shape == (32, 1 + nx)
+    assert u.shape == (32, 1 + nx)
+    assert float(jnp.max(jnp.abs(u))) <= 0.5 + 1e-6
+
+
+def test_sample_batch_exact_modes(key):
+    nx = 4
+    eq = make_equation("GBMEquationComplexExact", nx=nx, seed=0)
+    sol = Solution.zero(nx)
+    gen = est.GenConfig(t_always_uniform=True)
+    for mode in ("exact", "exact_gradient", "exact_hessian"):
+        tx, u = est.sample_batch(key, eq, sol, 16, gen, mode=mode)
+        assert u.shape == (16, est.target_dim(mode, nx))
+    # exact targets equal the oracle at the sampled points
+    tx, u = est.sample_batch(key, eq, sol, 16, gen, mode="exact")
+    np.testing.assert_allclose(
+        np.asarray(u),
+        np.asarray(eq.exact_solution(tx[:, :1], tx[:, 1:])), rtol=1e-5)
+
+
+def test_two_layer_with_equal_solutions_is_identity(key):
+    """f(u1) - f(u2) == 0 when u1 == u2: target collapses to u1(tx)."""
+    nx = 4
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=2.0)
+    sol = _mlp_solution(key, nx, "Value")
+    gen = est.GenConfig(n_estimate_integral=128, t_always_uniform=True)
+    kt = jax.random.fold_in(key, 5)
+    tx = est.sample_tx(kt, eq, 16, gen)
+    out = est.generate_two_layer(kt, eq, sol, sol, tx, gen)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(sol.value(tx)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_estimators_jit_with_equation_as_pytree(key):
+    """Generation jits with (eq, sol) as pytree args — no recompilation
+    across Picard iterations when only params change."""
+    nx = 4
+    eq = make_equation("OUProcessEquation", nx=nx, num_components=2)
+    sol = _mlp_solution(key, nx, "Value")
+    gen = est.GenConfig(n_estimate_terminal=32, n_estimate_integral=32,
+                        t_always_uniform=True)
+
+    @jax.jit
+    def gen_fn(k, e, s, tx):
+        return est.generate_with_gradients(k, e, s, tx, gen)
+
+    tx = est.sample_tx(key, eq, 8, gen)
+    out1 = gen_fn(key, eq, sol, tx)
+    # new params, same structure: must hit the jit cache
+    sol2 = _mlp_solution(jax.random.fold_in(key, 9), nx)
+    out2 = gen_fn(key, eq, sol2, tx)
+    assert out1.shape == out2.shape == (8, 1 + nx)
+    assert gen_fn._cache_size() == 1
