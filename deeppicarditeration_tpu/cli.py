@@ -1,0 +1,57 @@
+"""CLI: ``dpi-tpu train <cfg.yaml> [KEY value ...]`` / ``dpi-tpu evaluate``.
+
+Reference parity: picard/main.py (typer app with train/evaluate). Overrides
+are ``KEY.SUBKEY value`` pairs merged last (leading dashes tolerated).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="dpi-tpu",
+                                     description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="run the Picard training loop")
+    p_train.add_argument("configfile")
+    p_train.add_argument("overrides", nargs="*",
+                         help="KEY value pairs, e.g. PICARD.N 4")
+
+    p_eval = sub.add_parser("evaluate", help="evaluate an experiment dir")
+    p_eval.add_argument("exp_dir")
+    p_eval.add_argument("--do-l2", action="store_true")
+    p_eval.add_argument("--n-points", type=int, default=1000)
+    p_eval.add_argument("--n-estimate", type=int, default=1_000_000)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "train":
+        from deeppicarditeration_tpu.config import load_cfg
+        from deeppicarditeration_tpu.training.picard import PicardRunner
+
+        assert pathlib.Path(args.configfile).exists(), (
+            f"config file {args.configfile} does not exist")
+        cfg = load_cfg(args.configfile,
+                       [a.lstrip("-") for a in args.overrides] or None)
+        PicardRunner(cfg).run()
+    elif args.command == "evaluate":
+        from deeppicarditeration_tpu.evaluation.experiment import (
+            ExperimentEvaluator,
+        )
+
+        ev = ExperimentEvaluator(args.exp_dir,
+                                 n_estimate_terminal=args.n_estimate,
+                                 n_estimate_integral=args.n_estimate)
+        if args.do_l2:
+            ev.l2(args.n_points)
+        else:
+            ev.monte_carlo_at_zero()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

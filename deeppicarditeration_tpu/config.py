@@ -211,6 +211,12 @@ def default_cfg() -> Config:
     c.DATA.HESSIAN_APPROXIMATION.method = None  # None | "SDGD"
     c.DATA.HESSIAN_APPROXIMATION.kwargs = Config()
     c.DATA.SAMPLE_BOUND = None
+    # estimator-type strings; their only live effect in the reference is the
+    # epsilon of the uniform t-sampler (data.py:134-137): eps = 0.01 iff
+    # "ByGx" in ESTIMATE_TERMINAL or "Joint" in ESTIMATE_INTEGRAL. The
+    # shipped defaults hit that branch, so t ~ U[0.01, T - 0.01].
+    c.DATA.ESTIMATE_TERMINAL = "OU_ByGx"
+    c.DATA.ESTIMATE_INTEGRAL = "OU_Simple"
     c.DATA.ESTIMATE_DELTA_T = 0.0  # >0 => TD-style short-horizon estimators
     # TPU-specific: static per-step MC chunk (replaces the reference's
     # OOM-probing GPUMemoryTracker, memory.py:117-208 -- static shapes

@@ -1,0 +1,103 @@
+"""HBM-resident dataset: generation, epoch shuffling, offline replay.
+
+TPU-first replacement for the reference's dataset/cache/saver zoo
+(dataset.py, data_saver.py, memory.py — survey §7.1.3): the per-iteration
+dataset is ONE sharded device array pair (tx, y); multi-epoch training
+shuffles a permutation of indices on device; persistence is a plain
+``.npz`` per iteration (replaces H5 split files, data.py:1498-1520);
+offline replay loads ``.npy``/``.npz`` (OfflineDataGenerator,
+data.py:1382-1408). There is no OOM-probing: generation batch sizes are
+static and chosen ahead of time.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from deeppicarditeration_tpu.models.solution import Solution
+from deeppicarditeration_tpu.ops import estimators as est
+
+
+@struct.dataclass
+class DeviceDataset:
+    tx: jnp.ndarray  # (N, 1 + nx)
+    y: jnp.ndarray  # (N, target_dim)
+
+    @property
+    def size(self) -> int:
+        return self.tx.shape[0]
+
+
+def generate_dataset(key, eq, sol: Solution, n_total: int,
+                     gen: est.GenConfig, mode: str,
+                     sol_m2: Optional[Solution] = None,
+                     gen_batch: Optional[int] = None,
+                     sharding=None, dtype=jnp.float32,
+                     jit_sample=None) -> DeviceDataset:
+    """Generate the per-iteration supervised dataset on device.
+
+    ``gen_batch`` bounds collocation points per generation dispatch (the
+    M-sample reduction is already chunked inside); with B=4096, M=4096 a
+    single dispatch is typical. ``jit_sample`` allows the caller to pass a
+    pre-jitted sample_batch closure (kept across Picard iterations so the
+    kernel compiles once)."""
+    gen_batch = gen_batch or n_total
+    sample = jit_sample or (
+        lambda k, e, s, s2: est.sample_batch(
+            k, e, s, gen_batch, gen, mode=mode, sol_m2=s2, dtype=dtype))
+    txs, ys = [], []
+    n_done = 0
+    ck = 0
+    while n_done < n_total:
+        k = jax.random.fold_in(key, ck)
+        tx, y = sample(k, eq, sol, sol_m2)
+        if sharding is not None:
+            tx = jax.device_put(tx, sharding)
+            y = jax.device_put(y, sharding)
+        take = min(gen_batch, n_total - n_done)
+        txs.append(tx[:take])
+        ys.append(y[:take])
+        n_done += take
+        ck += 1
+    return DeviceDataset(tx=jnp.concatenate(txs), y=jnp.concatenate(ys))
+
+
+def epoch_batches(key, ds: DeviceDataset, batch_size: int,
+                  shuffle: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One epoch as stacked batches: ((S, bs, 1+nx), (S, bs, ydim)).
+
+    Replaces CacheToMemoryWrapper + TensorDatasetBuiltInShuffle
+    (dataset.py:203-255): an on-device permutation + reshape. Drops the
+    ragged tail (as torch DataLoader(drop_last) would)."""
+    n = ds.size
+    steps = n // batch_size
+    idx = (jax.random.permutation(key, n) if shuffle
+           else jnp.arange(n))[: steps * batch_size]
+    tx = jnp.take(ds.tx, idx, axis=0).reshape(steps, batch_size, -1)
+    y = jnp.take(ds.y, idx, axis=0).reshape(steps, batch_size, -1)
+    return tx, y
+
+
+def save_dataset(path: pathlib.Path, ds: DeviceDataset) -> None:
+    """Persist a generated dataset (DATA.SAVE, data.py:1498-1520)."""
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, tx=np.asarray(ds.tx), y=np.asarray(ds.y))
+
+
+def load_dataset(path, dtype=jnp.float32) -> DeviceDataset:
+    """Offline replay: .npz (ours) or .npy ((tx..., u) columns, reference
+    OfflineDataGenerator format data.py:1391-1399)."""
+    path = pathlib.Path(path)
+    if path.suffix == ".npz":
+        z = np.load(path)
+        return DeviceDataset(tx=jnp.asarray(z["tx"], dtype),
+                             y=jnp.asarray(z["y"], dtype))
+    data = np.load(path)
+    return DeviceDataset(tx=jnp.asarray(data[:, :-1], dtype),
+                         y=jnp.asarray(data[:, -1:], dtype))

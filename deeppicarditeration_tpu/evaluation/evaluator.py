@@ -1,0 +1,107 @@
+"""Solution evaluation: oracle comparison + MC self-consistency.
+
+Reference parity:
+  - compute_at_t / EvalCallback (utils.py:117-478): sample x ~ law(X_t) on a
+    t-grid, compare u / grad u / Hess u against the closed-form oracle;
+  - Evaluator.monte_carlo (evaluate.py:58-106): compare the trained network
+    at (t, x) = (0, 0) against a fresh Picard MC estimate built FROM that
+    same network — a fixed-point residual check with 10^6 samples
+    (main.py:31-33).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from deeppicarditeration_tpu.evaluation.metrics import grad_metrics, value_metrics
+from deeppicarditeration_tpu.models.solution import (
+    ONLY_GRADIENT,
+    VALUE_GRADIENT,
+    Solution,
+)
+from deeppicarditeration_tpu.ops import estimators as est
+from deeppicarditeration_tpu.ops.derivatives import full_hessian
+
+
+def eval_solution(key, sol: Solution, eq, n_points: int,
+                  test_grad: bool = False, test_hessian: bool = False,
+                  batch_size: Optional[int] = None) -> Dict[str, float]:
+    """Metrics of sol vs the exact solution on a t-linspace grid.
+
+    x is drawn from the law of X_t (utils.py:150, 185). ``batch_size``
+    bounds per-chunk memory (EVAL.BATCH_SIZE, utils.py:141-183).
+    """
+    t = jnp.linspace(0.0, eq.T, n_points)[:, None]
+    x = eq.sample_x(key, t)
+    bs = batch_size or n_points
+    preds, exacts = [], []
+    gpred, gexact, hpred, hexact = [], [], [], []
+    for i in range(0, n_points, bs):
+        tb, xb = t[i:i + bs], x[i:i + bs]
+        tx = jnp.concatenate([tb, xb], axis=-1)
+        if sol.net_type == ONLY_GRADIENT and sol.kind == "net":
+            u_pred = jnp.zeros((tb.shape[0], 1), tb.dtype)
+            ux_pred = sol(tx)
+        elif sol.net_type == VALUE_GRADIENT and sol.kind == "net":
+            out = sol(tx)
+            u_pred, ux_pred = out[:, 0:1], out[:, 1:]
+        else:
+            u_pred, g_tx = sol.value_and_grad_tx(tx)
+            ux_pred = g_tx[:, 1:]
+        preds.append(u_pred)
+        exacts.append(eq.exact_solution(tb, xb))
+        if test_grad:
+            gpred.append(ux_pred)
+            gexact.append(eq.u_x(tb, xb))
+            if test_hessian:
+                hpred.append(full_hessian(sol, tb, xb)
+                             .reshape(tb.shape[0], -1))
+                hexact.append(eq.u_hessian(tb, xb).reshape(tb.shape[0], -1))
+    metrics = value_metrics(jnp.concatenate(preds), jnp.concatenate(exacts))
+    if test_grad:
+        metrics.update(grad_metrics(jnp.concatenate(gpred),
+                                    jnp.concatenate(gexact), prefix="g"))
+        if test_hessian:
+            metrics.update(grad_metrics(jnp.concatenate(hpred),
+                                        jnp.concatenate(hexact), prefix="h"))
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def monte_carlo_at(key, eq, sol: Solution, gen: est.GenConfig,
+                   x: jnp.ndarray, t: Optional[jnp.ndarray] = None):
+    """Fresh Picard MC estimate of u(t, x) from sol (evaluate.py:58-82)."""
+    if t is None:
+        t = jnp.zeros((x.shape[0], 1), x.dtype)
+    tx = jnp.concatenate([t, x], axis=-1)
+    return est.generate_values(key, eq, sol, tx, gen)
+
+
+def monte_carlo_at_zero(key, eq, sol: Solution, n_estimate: int = 1_000_000,
+                        chunk_elems: int = 2 ** 22) -> Dict[str, float]:
+    """u_net(0,0) vs a 10^6-sample MC estimate built from u_net itself.
+
+    The reference's de-facto verification harness
+    (experiment_evaluator.py:74-82). Small |u_net - MC| means the network
+    is near the Picard fixed point.
+    """
+    gen = est.GenConfig(n_estimate_terminal=n_estimate,
+                        n_estimate_integral=n_estimate,
+                        chunk_elems=chunk_elems)
+    x0 = jnp.zeros((1, eq.nx))
+    u_mc = monte_carlo_at(key, eq, sol, gen, x0)
+    tx0 = jnp.concatenate([jnp.zeros((1, 1)), x0], axis=-1)
+    u_net = sol.value(tx0)
+    return {"u_net_at_zero": float(u_net[0, 0]),
+            "u_mc_at_zero": float(u_mc[0, 0]),
+            "self_consistency_error": float(jnp.abs(u_net - u_mc)[0, 0])}
+
+
+def l2_at_t(key, sol: Solution, eq, t: jnp.ndarray) -> Dict[str, float]:
+    """RMSE of the value head vs exact at given t points (evaluate.py:108)."""
+    x = eq.sample_x(key, t)
+    tx = jnp.concatenate([t, x], axis=-1)
+    err = sol.value(tx) - eq.exact_solution(t, x)
+    return {"l2_error": float(jnp.sqrt(jnp.mean(err ** 2)))}

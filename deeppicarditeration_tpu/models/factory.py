@@ -1,0 +1,61 @@
+"""Network construction from config (NETWORK.* keys).
+
+Reference parity: PicardRunner.get_solution_cls / PicardSolution
+construction (picard_iteration.py:94-118, solution.py:292-327) and the
+terminal-enforcing ansatz (solution_enforce_terminal.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deeppicarditeration_tpu.models.networks import MLP, EnforceTerminal, PISGradNet
+from deeppicarditeration_tpu.models.solution import (
+    ONLY_GRADIENT,
+    VALUE,
+    Solution,
+    output_dim_for,
+)
+from deeppicarditeration_tpu.utils.static_fn import StaticFn
+
+
+def build_network(cfg, eq):
+    """Build the flax module described by cfg.NETWORK for equation eq."""
+    net_cfg = cfg.NETWORK
+    net_type = net_cfg.TYPE
+    out_dim = output_dim_for(net_type, eq.nx)
+    neurons = tuple(net_cfg.NEURONS)
+    activations = tuple(net_cfg.ACTIVATIONS)
+    bound = net_cfg.BOUND
+
+    if net_cfg.PISGRADNET:
+        assert net_type == VALUE, "PISGradNet is a value ansatz"
+        return PISGradNet(hidden_shapes=neurons, dim=eq.nx,
+                          g0=StaticFn(eq.g, ("g", id(eq))), T=eq.T)
+
+    inner = MLP(neurons=neurons, activations=activations, out_dim=out_dim,
+                bound=bound)
+    if net_cfg.cls == "PicardSolutionEnforceTerminal":
+        if net_type == VALUE:
+            anchor = StaticFn(eq.g, ("g", id(eq)))
+        elif net_type == ONLY_GRADIENT:
+            anchor = StaticFn(eq.g_x, ("g_x", id(eq)))
+        else:
+            raise ValueError(
+                "EnforceTerminal supports Value or OnlyGradient TYPE "
+                "(solution_enforce_terminal.py:14-19)")
+        return EnforceTerminal(inner=inner, anchor=anchor, T=eq.T)
+    return inner
+
+
+def init_solution(key, cfg, eq, module=None) -> Solution:
+    """Initialize parameters and wrap as a Solution."""
+    module = module if module is not None else build_network(cfg, eq)
+    params = module.init(key, jnp.zeros((1, 1 + eq.nx)))
+    return Solution.from_net(module, params, cfg.NETWORK.TYPE, eq.nx)
+
+
+def is_enforce_terminal(cfg) -> bool:
+    return bool(cfg.NETWORK.cls and "EnforceTerminal" in cfg.NETWORK.cls) \
+        or bool(cfg.NETWORK.PISGRADNET)

@@ -1,0 +1,390 @@
+"""Baseline solvers: PINN-HTE, D-DBSDE (Diffusion), DBDP (FullyNonlinear).
+
+Reference parity: solution.py:349-893, dispatched by METHOD.cls
+(picard_iteration.py:253-264). All three are re-designed around jitted
+steps and lax.scan rollouts (the only time-stepped SDE simulation in the
+framework, survey §3.1).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from deeppicarditeration_tpu.evaluation.evaluator import eval_solution
+from deeppicarditeration_tpu.models.factory import (
+    init_solution,
+    is_enforce_terminal,
+)
+from deeppicarditeration_tpu.models.networks import MLP
+from deeppicarditeration_tpu.models.solution import Solution
+from deeppicarditeration_tpu.ops.derivatives import (
+    diag_hessian_entries,
+    exact_laplacian,
+    full_hessian,
+    hutchinson_laplacian,
+)
+from deeppicarditeration_tpu.training import checkpoint as ckpt
+
+
+def run_baseline(runner, key):
+    method = runner.cfg.METHOD.cls
+    if method == "PINN":
+        return train_pinn(runner, key)
+    if method == "Diffusion":
+        return train_diffusion(runner, key)
+    if method == "FullyNonlinearSolver":
+        return train_dbdp(runner, key)
+    raise ValueError(f"Unknown baseline {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# PINN-HTE (solution.py:349-520)
+# ---------------------------------------------------------------------------
+
+def _pinn_residual(eq, sol: Solution, t, x, key, sdgd_v, num_v_samples):
+    """PDE residual at (t, x) with the configured Laplacian estimator."""
+    tx = jnp.concatenate([t, x], axis=-1)
+    u, g_tx = sol.value_and_grad_tx(tx)
+    u_t, u_x = g_tx[:, 0:1], g_tx[:, 1:]
+    if eq.has_hessian_term:
+        if sdgd_v:
+            idx = jax.random.randint(key, (t.shape[0], sdgd_v), 0,
+                                     eq.nx, dtype=jnp.int32)
+            u_ii = diag_hessian_entries(sol, t, x, idx)
+        else:
+            hess = full_hessian(sol, t, x)
+            u_ii = jnp.diagonal(hess, axis1=-2, axis2=-1)
+        return eq.pinn_function(t, x, u, u_t, u_x, u_ii)
+    if num_v_samples and num_v_samples > 0:
+        lap = hutchinson_laplacian(key, sol, t, x, num_v_samples)
+    else:
+        lap = exact_laplacian(sol, t, x)
+    return eq.pinn_function(t, x, u, u_t, u_x, lap)
+
+
+def train_pinn(runner, key):
+    """PINN with Hutchinson-trace or SDGD Hessian sampling.
+
+    Fixed Adam lr=1e-3 as in the reference (solution.py:352-355); terminal
+    penalty beta unless the ansatz enforces the terminal condition."""
+    cfg, eq = runner.cfg, runner.equation
+    sol0 = init_solution(jax.random.fold_in(key, 0), cfg, eq,
+                         module=runner.module)
+    enforce = is_enforce_terminal(cfg)
+    terminal_weight = 0.0 if enforce else float(cfg.TRAIN.LOSS.beta)
+    sdgd_v = None
+    if cfg.DATA.HESSIAN_APPROXIMATION.method == "SDGD":
+        sdgd_v = int(cfg.DATA.HESSIAN_APPROXIMATION.kwargs["v"])
+    num_v = int(cfg.METHOD.num_v_samples)
+    bs = int(cfg.TRAIN.BATCH_SIZE)
+    tx_opt = optax.adam(1e-3)
+
+    def loss_fn(params, k):
+        sol = Solution.from_net(runner.module, params, runner.net_type, eq.nx)
+        kt, kx, kr, kT = jax.random.split(k, 4)
+        t = eq.T * jax.random.uniform(kt, (bs, 1))
+        x = eq.sample_x(kx, t)
+        res = _pinn_residual(eq, sol, t, x, kr, sdgd_v, num_v)
+        loss = jnp.mean(res ** 2)
+        if terminal_weight > 0.0:
+            T = jnp.full((bs, 1), eq.T)
+            xT = eq.sample_x(kT, T)
+            uT = sol.value(jnp.concatenate([T, xT], axis=-1))
+            loss = loss + terminal_weight * jnp.mean((uT - eq.g(xT)) ** 2)
+        return loss
+
+    @jax.jit
+    def step(params, opt_state, k):
+        loss, grads = jax.value_and_grad(loss_fn)(params, k)
+        updates, opt_state = tx_opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state = sol0.params, tx_opt.init(sol0.params)
+    _baseline_loop(runner, key, step, params, opt_state,
+                   n_epochs=int(cfg.TRAIN.N_EPOCHS), tag="pinn")
+
+
+# ---------------------------------------------------------------------------
+# D-DBSDE / Diffusion (solution.py:523-658)
+# ---------------------------------------------------------------------------
+
+def train_diffusion(runner, key):
+    """K-step Euler rollout + BSDE martingale-residual loss.
+
+    v_T ~ v_0 - sum f dt + sum <grad v, dX> (solution.py:601-616); the
+    rollout is a lax.scan (the reference's Python k-loop, :591-595)."""
+    cfg, eq = runner.cfg, runner.equation
+    sol0 = init_solution(jax.random.fold_in(key, 0), cfg, eq,
+                         module=runner.module)
+    enforce = is_enforce_terminal(cfg)
+    terminal_weight = 0.0 if enforce else float(cfg.TRAIN.LOSS.beta)
+    K = int(cfg.METHOD.K)
+    dt = float(cfg.METHOD.dt)
+    bs = int(cfg.TRAIN.BATCH_SIZE)
+    tx_opt = optax.adam(1e-3)
+
+    def rollout(k, t0, x0):
+        """(B, K+1) times/states via exact one-step Gaussian transitions,
+        with the tail-shrunk dt when t0 + K dt > T (solution.py:586-589)."""
+        dts = jnp.where(t0 + K * dt <= eq.T, dt, (eq.T - t0) / K)  # (B,1)
+
+        def body(carry, kk):
+            t, x = carry
+            t_next = t + dts
+            x_next, _ = eq.transition(jax.random.fold_in(k, kk), t, t_next, x)
+            return (t_next, x_next), (t_next, x_next)
+
+        (_, _), (ts, xs) = jax.lax.scan(body, (t0, x0), jnp.arange(K))
+        ts = jnp.concatenate([t0[None], ts], axis=0)  # (K+1, B, 1)
+        xs = jnp.concatenate([x0[None], xs], axis=0)
+        return ts, xs, dts
+
+    def loss_fn(params, k):
+        sol = Solution.from_net(runner.module, params, runner.net_type, eq.nx)
+        kt, kx, kw, kT = jax.random.split(k, 4)
+        t0 = eq.T * jax.random.uniform(kt, (bs, 1))
+        x0 = eq.sample_x(kx, t0)
+        ts, xs, dts = rollout(kw, t0, x0)  # (K+1, B, .)
+        v, v_grad = sol.value_and_grad_x(ts, xs)  # (K+1, B, 1/nx)
+        if eq.has_gradient_term:
+            fs = eq.ff(ts, xs, v, v_grad)
+        else:
+            fs = eq.f(ts, xs, v)
+        dxs = jnp.diff(xs, axis=0)  # (K, B, nx)
+        v_pred = (v[0] - jnp.sum(fs[:-1] * dts[None], axis=0)
+                  + jnp.sum(jnp.sum(v_grad[:-1] * dxs, axis=-1,
+                                    keepdims=True), axis=0))
+        loss = jnp.mean((v[-1] - v_pred) ** 2)
+        if terminal_weight > 0.0:
+            T = jnp.full((bs, 1), eq.T)
+            xT = eq.sample_x(kT, T)
+            uT = sol.value(jnp.concatenate([T, xT], axis=-1))
+            loss = loss + terminal_weight * jnp.mean((uT - eq.g(xT)) ** 2)
+        return loss
+
+    @jax.jit
+    def step(params, opt_state, k):
+        loss, grads = jax.value_and_grad(loss_fn)(params, k)
+        updates, opt_state = tx_opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state = sol0.params, tx_opt.init(sol0.params)
+    _baseline_loop(runner, key, step, params, opt_state,
+                   n_epochs=int(cfg.TRAIN.N_EPOCHS), tag="diffusion")
+
+
+# ---------------------------------------------------------------------------
+# DBDP / FullyNonlinearSolver (solution.py:661-893, arXiv:1908.00412)
+# ---------------------------------------------------------------------------
+
+def _dbdp_modules(cfg, eq):
+    """Per-timestep value / gradient nets taking x only; the terminal
+    anchor g + (T - t_k) net(x) is applied functionally per step
+    (MLPEnforceTerminal, solution.py:661-694)."""
+    neurons = tuple(cfg.NETWORK.NEURONS)
+    acts = tuple(cfg.NETWORK.ACTIVATIONS)
+    bound = cfg.NETWORK.BOUND
+    u_mod = MLP(neurons=neurons, activations=acts, out_dim=1, bound=bound)
+    g_mod = MLP(neurons=neurons, activations=acts, out_dim=eq.nx, bound=bound)
+    return u_mod, g_mod
+
+
+def train_dbdp(runner, key):
+    """Backward DBDP sweep with per-timestep net pairs.
+
+    All K+1 net pairs live as stacked parameter pytrees (one leaf per
+    layer with a leading (K+1,) axis) — indexing with k replaces the
+    reference's list of modules (solution.py:712-731); the warm start
+    net_{k-1} <- net_k is an indexed copy."""
+    cfg, eq = runner.cfg, runner.equation
+    K = round(eq.T / float(cfg.METHOD.dt))
+    dt = eq.T / K
+    num_sub_iter = int(cfg.METHOD.num_sub_iter)
+    bs = int(cfg.TRAIN.BATCH_SIZE)
+    enforce = is_enforce_terminal(cfg)
+    u_mod, g_mod = _dbdp_modules(cfg, eq)
+    x0_shape = jnp.zeros((1, eq.nx))
+
+    def init_pair(k):
+        ku, kg = jax.random.split(k)
+        return (u_mod.init(ku, x0_shape), g_mod.init(kg, x0_shape))
+
+    pairs = [init_pair(jax.random.fold_in(key, 1000 + kk))
+             for kk in range(K + 1)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pairs)
+    ts_grid = jnp.arange(K + 1) * dt
+
+    def u_at(params_k, t_k, x):
+        return eq.g(x) + (eq.T - t_k) * u_mod.apply(params_k, x)
+
+    def ux_at(params_k, t_k, x):
+        return eq.g_x(x) + (eq.T - t_k) * g_mod.apply(params_k, x)
+
+    def sample_paths(k):
+        """(B, K+1) Euler path + scaled increments (solution.py:744-760)."""
+        x = eq.sample_x0(jax.random.fold_in(k, 0), bs)
+        t = jnp.zeros((bs, 1))
+
+        def body(carry, kk):
+            t, x = carry
+            t_next = t + dt
+            x_next, dW = eq.transition(jax.random.fold_in(k, 1 + kk), t,
+                                       t_next, x)
+            return (t_next, x_next), (x_next, dW * math.sqrt(dt))
+
+        (_, _), (xs, dWs) = jax.lax.scan(body, (t, x), jnp.arange(K))
+        xs = jnp.concatenate([x[None], xs], axis=0)  # (K+1, B, nx)
+        return xs, dWs  # dWs: (K, B, nx)
+
+    def one_step_loss(pair_prev, pair_next, t_prev, t_next, x, x_next, dW,
+                      is_last):
+        u_params, g_params = pair_prev
+        un_params, gn_params = pair_next
+        u = u_at(u_params, t_prev, x)
+        u_x = ux_at(g_params, t_prev, x)
+        if enforce:
+            u_next = jnp.where(is_last, eq.g(x_next),
+                               u_at(un_params, t_next, x_next))
+        else:
+            u_next = u_at(un_params, t_next, x_next)
+
+        # Hess u_{k}(x_next): per-sample jacobian of the next gradient net
+        def gnet(xx):
+            if enforce:
+                return jnp.where(is_last, eq.g_x(xx[None])[0],
+                                 ux_at(gn_params, t_next, xx[None])[0])
+            return ux_at(gn_params, t_next, xx[None])[0]
+
+        hess = jax.vmap(jax.jacrev(gnet))(x_next)  # (B, nx, nx)
+        f_hat = eq.ffh(t_prev, x, u, u_x, jax.lax.stop_gradient(hess))
+        F = (u - f_hat * dt
+             + jnp.sum(u_x * eq.alpha_sqrt * dW, axis=-1, keepdims=True))
+        return jnp.mean((jax.lax.stop_gradient(u_next) - F) ** 2)
+
+    tx_opt = optax.adam(1e-3)
+
+    def pair_at(stacked_params, kk):
+        return jax.tree_util.tree_map(lambda a: a[kk], stacked_params)
+
+    @jax.jit
+    def substep_k(k_rng, pair_prev, opt_state, pair_next, kk, is_last):
+        xs, dWs = sample_paths(k_rng)
+        x = xs[kk - 1]
+        x_next = xs[kk]
+        dW = dWs[kk - 1]
+        t_prev = ts_grid[kk - 1] * jnp.ones((bs, 1))
+        t_next = ts_grid[kk] * jnp.ones((bs, 1))
+
+        def loss_of(p):
+            return one_step_loss(p, pair_next, t_prev, t_next, x, x_next,
+                                 dW, is_last)
+
+        loss, grads = jax.value_and_grad(loss_of)(pair_prev)
+        updates, opt_state = tx_opt.update(grads, opt_state, pair_prev)
+        return optax.apply_updates(pair_prev, updates), opt_state, loss
+
+    # terminal pre-fit when not enforcing (solution.py:810-823)
+    @jax.jit
+    def terminal_fit_step(k_rng, pair, opt_state):
+        xs, _ = sample_paths(k_rng)
+        x = xs[-1]
+
+        def loss_of(p):
+            u_params, g_params = p
+            u = u_at(u_params, ts_grid[K], x)
+            u_x = ux_at(g_params, ts_grid[K], x)
+            return (jnp.mean((u - eq.g(x)) ** 2)
+                    + dt * jnp.mean((u_x - eq.g_x(x)) ** 2))
+
+        loss, grads = jax.value_and_grad(loss_of)(pair)
+        updates, opt_state = tx_opt.update(grads, opt_state, pair)
+        return optax.apply_updates(pair, updates), opt_state, loss
+
+    n_epochs = int(cfg.TRAIN.N_EPOCHS)
+    step_counter = 0
+    for epoch in range(n_epochs):
+        kep = jax.random.fold_in(key, 31 + epoch)
+        if not enforce:
+            pair = pair_at(stacked, K)
+            opt_state = tx_opt.init(pair)
+            for it in range(num_sub_iter):
+                pair, opt_state, loss = terminal_fit_step(
+                    jax.random.fold_in(kep, it), pair, opt_state)
+            stacked = jax.tree_util.tree_map(
+                lambda a, b: a.at[K].set(b), stacked, pair)
+        for kk in range(K, 0, -1):
+            if kk < K:  # warm start from step k (solution.py:829-831)
+                stacked = jax.tree_util.tree_map(
+                    lambda a: a.at[kk - 1].set(a[kk]), stacked)
+            pair_prev = pair_at(stacked, kk - 1)
+            pair_next = pair_at(stacked, kk)
+            opt_state = tx_opt.init(pair_prev)
+            kkk = jax.random.fold_in(kep, kk)
+            for it in range(num_sub_iter):
+                pair_prev, opt_state, loss = substep_k(
+                    jax.random.fold_in(kkk, it), pair_prev, opt_state,
+                    pair_next, kk, kk == K)
+            stacked = jax.tree_util.tree_map(
+                lambda a, b: a.at[kk - 1].set(b), stacked, pair_prev)
+            step_counter += num_sub_iter
+            runner.logger.log({"loss": float(loss), "k": kk, "epoch": epoch},
+                              step_counter, context="dbdp")
+            if eq.has_exact_solution:
+                em = _dbdp_eval(runner, stacked, u_mod, g_mod, ts_grid, K,
+                                eq, jax.random.fold_in(kkk, 777))
+                runner.logger.log(em, step_counter, context="eval")
+    # persist the stacked nets
+    ckpt.save_params(ckpt.ckpt_path(runner.exp_dir, runner.i), stacked)
+    return stacked
+
+
+def _dbdp_eval(runner, stacked, u_mod, g_mod, ts_grid, K, eq, key):
+    """Value metrics across the time grid (solution.py:856-886)."""
+    import numpy as np
+
+    n = 100
+    preds, exacts = [], []
+    for kk in range(K + 1):
+        t_eval = jnp.full((n, 1), float(ts_grid[kk]))
+        x_eval = eq.sample_x(jax.random.fold_in(key, kk), t_eval)
+        params_k = jax.tree_util.tree_map(lambda a: a[kk], stacked)
+        u = eq.g(x_eval) + (eq.T - ts_grid[kk]) * u_mod.apply(params_k[0],
+                                                             x_eval)
+        preds.append(np.asarray(u))
+        exacts.append(np.asarray(eq.exact_solution(t_eval, x_eval)))
+    from deeppicarditeration_tpu.evaluation.metrics import value_metrics
+
+    m = value_metrics(jnp.asarray(np.concatenate(preds)),
+                      jnp.asarray(np.concatenate(exacts)))
+    return {k: float(v) for k, v in m.items()}
+
+
+# ---------------------------------------------------------------------------
+# shared epoch loop for PINN / Diffusion
+# ---------------------------------------------------------------------------
+
+def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
+    cfg, eq = runner.cfg, runner.equation
+    log_interval = int(cfg.EVAL.FREQ or 100)
+    loss = jnp.zeros(())
+    for epoch in range(n_epochs):
+        params, opt_state, loss = step(params, opt_state,
+                                       jax.random.fold_in(key, epoch))
+        if epoch % log_interval == 0:
+            runner.logger.log({"loss": float(loss), "epoch": epoch},
+                              epoch, context=tag)
+            if eq.has_exact_solution:
+                sol = Solution.from_net(runner.module, params,
+                                        runner.net_type, eq.nx)
+                em = eval_solution(jax.random.fold_in(key, 900 + epoch), sol,
+                                   eq, int(cfg.EVAL.L2_N_POINTS),
+                                   test_grad=bool(cfg.EVAL.TEST_GRAD))
+                runner.logger.log(em, epoch, context="eval")
+    ckpt.save_params(ckpt.ckpt_path(runner.exp_dir, runner.i), params)
+    runner.u_current = Solution.from_net(runner.module, params,
+                                         runner.net_type, eq.nx)
+    return params

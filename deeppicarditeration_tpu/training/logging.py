@@ -1,0 +1,49 @@
+"""Metric logging: JSONL stream + optional TensorBoard.
+
+Replaces the reference's wandb/tensorboardX dual logger
+(picard_iteration.py:265-276) with an always-on JSONL file per experiment
+(machine-readable, no external deps) and best-effort TensorBoard when the
+package is available.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+from typing import Dict, Optional
+
+
+class MetricLogger:
+    def __init__(self, exp_dir: pathlib.Path, logger: str = "jsonl",
+                 tensorboard_dir: Optional[str] = None):
+        self.exp_dir = pathlib.Path(exp_dir)
+        self.exp_dir.mkdir(parents=True, exist_ok=True)
+        self._jsonl = open(self.exp_dir / "metrics.jsonl", "a")
+        self._tb = None
+        if logger == "tensorboard":
+            try:
+                from tensorboardX import SummaryWriter  # type: ignore
+
+                self._tb = SummaryWriter(
+                    log_dir=str(tensorboard_dir or (self.exp_dir / "tb")))
+            except ImportError:
+                pass
+
+    def log(self, metrics: Dict, step: int, context: str = "train") -> None:
+        rec = {"step": step, "context": context, "time": time.time()}
+        rec.update({k: (float(v) if hasattr(v, "__float__") else v)
+                    for k, v in metrics.items()})
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in metrics.items():
+                try:
+                    self._tb.add_scalar(f"{context}/{k}", float(v), step)
+                except (TypeError, ValueError):
+                    pass
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -1,0 +1,306 @@
+"""The outer Picard loop: generate -> fit -> checkpoint -> swap.
+
+Reference parity: PicardRunner (picard_iteration.py:76-307). Per iteration:
+fresh (or reloaded) network, dataset generated from the FROZEN previous
+iterate, supervised fit for TRAIN.N_EPOCHS, checkpoint, swap. Baselines
+(PINN / Diffusion / FullyNonlinearSolver) dispatch by METHOD.cls
+(picard_iteration.py:253-264).
+
+TPU design: equation and frozen solution are pytree arguments to ONE jitted
+generation function and ONE jitted multi-step train function — same treedef
+every iteration, so the whole run compiles exactly once per shape
+(survey §7.3.4). Epochs run as lax.scan segments of EVAL.FREQ steps with
+donated train state.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from deeppicarditeration_tpu.data.dataset import (
+    DeviceDataset,
+    epoch_batches,
+    generate_dataset,
+    load_dataset,
+    save_dataset,
+)
+from deeppicarditeration_tpu.equations import make_equation
+from deeppicarditeration_tpu.evaluation.evaluator import eval_solution
+from deeppicarditeration_tpu.models.factory import (
+    build_network,
+    init_solution,
+    is_enforce_terminal,
+)
+from deeppicarditeration_tpu.models.solution import Solution, output_dim_for
+from deeppicarditeration_tpu.ops.estimators import GenConfig, sample_batch
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from deeppicarditeration_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated,
+)
+from deeppicarditeration_tpu.training import checkpoint as ckpt
+from deeppicarditeration_tpu.training.logging import MetricLogger
+from deeppicarditeration_tpu.training.trainer import (
+    TrainSpec,
+    TrainState,
+    compute_loss,
+    make_optimizer,
+)
+from deeppicarditeration_tpu.utils.profiling import step_timer
+import optax
+
+
+def gen_config_from_cfg(cfg, i: int) -> GenConfig:
+    d = cfg.DATA
+    kwargs = d.kwargs or {}
+    hess = d.HESSIAN_APPROXIMATION
+    sdgd_v = None
+    if hess.method == "SDGD":
+        sdgd_v = int((hess.kwargs or {}).get("v"))
+    eps = 0.0
+    if ("ByGx" in (d.ESTIMATE_TERMINAL or "")
+            or "Joint" in (d.ESTIMATE_INTEGRAL or "")):
+        eps = 0.01  # reference data.py:134-137
+    return GenConfig(
+        n_estimate_terminal=int(kwargs.get("n_estimate_terminal", 1)),
+        n_estimate_integral=int(kwargs.get("n_estimate_integral", 1)),
+        chunk_elems=int(d.CHUNK_ELEMS),
+        t_always_uniform=bool(kwargs.get("t_always_uniform", False)),
+        t_uniform_eps=eps,
+        N=int(cfg.PICARD.N),
+        i=i,
+        sample_bound=(float(d.SAMPLE_BOUND)
+                      if d.SAMPLE_BOUND is not None else None),
+        sdgd_v=sdgd_v,
+        estimate_delta_t=float(d.ESTIMATE_DELTA_T),
+    )
+
+
+class PicardRunner:
+    """Drives PICARD.N iterations of generate -> fit -> checkpoint."""
+
+    def __init__(self, cfg, exp_root: Optional[pathlib.Path] = None):
+        self.cfg = cfg
+        self.exp_dir = pathlib.Path(exp_root or ".") / cfg.NAME
+        self._prepare_exp_dir()
+
+        self.seed = int(cfg.SEED)
+        self.root_key = jax.random.PRNGKey(self.seed)
+        self.equation = make_equation(cfg.EQUATION.cls, seed=self.seed,
+                                      **(cfg.EQUATION.kwargs or {}))
+        eq = self.equation
+
+        self.supervise_gradient = bool(cfg.TRAIN.SUPERVISE_GRADIENT
+                                       or eq.has_gradient_term)
+        self.supervise_hessian = bool(cfg.TRAIN.SUPERVISE_HESSIAN)
+        self.net_type = cfg.NETWORK.TYPE
+        self.output_dim = output_dim_for(self.net_type, eq.nx)
+
+        self.N = int(cfg.PICARD.N)
+        self.i = 0
+        self.mesh = make_mesh(cfg.MESH.SHAPE, tuple(cfg.MESH.AXES))
+        self.sharding = data_sharding(self.mesh)
+        # stacked epoch batches: (steps, batch, feat) with batch sharded
+        self.batch_sharding = NamedSharding(self.mesh, P(None, "data"))
+        self.repl = replicated(self.mesh)
+
+        self.module = build_network(cfg, eq)
+        self.spec = TrainSpec.from_cfg(cfg, eq.nx)
+        self.tx_opt, self._opt_needs_value = make_optimizer(
+            cfg.TRAIN.OPTIMIZER)
+
+        self.u_current: Solution = Solution.zero(eq.nx, self.net_type)
+        self.u_history: List[Solution] = [self.u_current]
+        self.logger = MetricLogger(self.exp_dir, cfg.LOGGING.LOGGER,
+                                   cfg.LOGGING.TENSORBOARD_DIR)
+        self.global_step = 0
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    def _prepare_exp_dir(self):
+        cfg_file = self.exp_dir / "config.yaml"
+        if self.exp_dir.exists() and any(self.exp_dir.iterdir()):
+            contents = list(self.exp_dir.iterdir())
+            if not (len(contents) == 1 and contents[0].name == cfg_file.name):
+                if not self.cfg.FORCE:
+                    raise FileExistsError(
+                        f"Experiment directory {self.exp_dir} already exists; "
+                        "set FORCE: true to overwrite "
+                        "(picard_iteration.py:124-141 semantics)")
+                shutil.rmtree(self.exp_dir)
+        self.exp_dir.mkdir(parents=True, exist_ok=True)
+        cfg_file.write_text(self.cfg.dump())
+
+    # ------------------------------------------------------------------
+    @property
+    def generation_mode(self) -> str:
+        """Dataset-variant selection (data.py:1620-1661)."""
+        cfg = self.cfg
+        if cfg.PICARD.FORMULA == "TwoLayer" and len(self.u_history) >= 2:
+            assert not self.supervise_gradient, (
+                "TwoLayer formula generates value-only targets "
+                "(data.py:1332-1333)")
+            return "two_layer"
+        if cfg.DATA.EXACT:
+            if self.supervise_hessian:
+                return "exact_hessian"
+            return "exact_gradient" if self.supervise_gradient else "exact"
+        if self.supervise_hessian:
+            return "hessian"
+        return "gradient" if self.supervise_gradient else "value"
+
+    def _jitted(self, name, builder):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = builder()
+        return self._jit_cache[name]
+
+    # ------------------------------------------------------------------
+    def _make_dataset(self, key, gen: GenConfig, mode: str) -> DeviceDataset:
+        cfg = self.cfg
+        if not cfg.DATA.ONLINE:
+            return load_dataset(cfg.DATA.TRAIN_FILE)
+        n_total = int(cfg.DATA.DATA_SIZE)
+        sol_m2 = self.u_history[-2] if mode == "two_layer" else None
+
+        def builder():
+            @partial(jax.jit, static_argnames=())
+            def sample(k, e, s, s2):
+                return sample_batch(k, e, s, n_total, gen, mode=mode,
+                                    sol_m2=s2)
+
+            return sample
+
+        # one jit per (mode, gen, n_total) triple — constant across iterations
+        jit_sample = self._jitted(("sample", mode, gen, n_total), builder)
+        ds = generate_dataset(key, self.equation, self.u_current, n_total,
+                              gen, mode, sol_m2=sol_m2,
+                              sharding=self.sharding, jit_sample=jit_sample)
+        if cfg.DATA.SAVE:
+            save_dataset(self.exp_dir / f"data_iter_{self.i}.npz", ds)
+        return ds
+
+    # ------------------------------------------------------------------
+    def _make_multi_step(self):
+        module, tx_opt, spec = self.module, self.tx_opt, self.spec
+        needs_value = self._opt_needs_value
+
+        def run_steps(state: TrainState, txs, ys, keys):
+            def body(st, batch):
+                tx, y, k = batch
+                (loss, metrics), grads = jax.value_and_grad(
+                    lambda p: compute_loss(module, p, tx, y, spec, k),
+                    has_aux=True)(st.params)
+                extra = {"value": loss} if needs_value else {}
+                updates, opt_state = tx_opt.update(grads, st.opt_state,
+                                                   st.params, **extra)
+                params = optax.apply_updates(st.params, updates)
+                return (TrainState(params=params, opt_state=opt_state,
+                                   step=st.step + 1), metrics)
+
+            state, ms = jax.lax.scan(body, state, (txs, ys, keys))
+            last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+            return state, last
+
+        return jax.jit(run_steps, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def _train_iteration(self, key, state: TrainState,
+                         ds: DeviceDataset) -> TrainState:
+        cfg = self.cfg
+        bs = int(cfg.TRAIN.BATCH_SIZE)
+        n_epochs = int(cfg.TRAIN.N_EPOCHS)
+        freq = cfg.EVAL.FREQ
+        run_steps = self._jitted("multi_step", self._make_multi_step)
+
+        for epoch in range(n_epochs):
+            k_ep = jax.random.fold_in(key, epoch)
+            txs, ys = epoch_batches(jax.random.fold_in(k_ep, 0), ds, bs,
+                                    shuffle=cfg.DATA.SHUFFLE is not False)
+            txs = jax.device_put(txs, self.batch_sharding)
+            ys = jax.device_put(ys, self.batch_sharding)
+            steps = txs.shape[0]
+            keys = jax.random.split(jax.random.fold_in(k_ep, 1), steps)
+            seg = int(freq) if freq else steps
+            for s0 in range(0, steps, seg):
+                s1 = min(s0 + seg, steps)
+                with step_timer(f"train[{s0}:{s1}]"):
+                    state, metrics = run_steps(state, txs[s0:s1], ys[s0:s1],
+                                               keys[s0:s1])
+                self.global_step += s1 - s0
+                self.logger.log({**{k: float(v) for k, v in metrics.items()},
+                                 "iter": self.i, "epoch": epoch},
+                                self.global_step, context="train")
+                if freq and self.equation.has_exact_solution:
+                    sol = Solution.from_net(self.module, state.params,
+                                            self.net_type, self.equation.nx)
+                    em = eval_solution(
+                        jax.random.fold_in(k_ep, 2 + s0), sol, self.equation,
+                        int(cfg.EVAL.L2_N_POINTS),
+                        test_grad=bool(cfg.EVAL.TEST_GRAD),
+                        test_hessian=bool(cfg.EVAL.TEST_HESSIAN),
+                        batch_size=cfg.EVAL.BATCH_SIZE)
+                    em["iter"] = self.i
+                    self.logger.log(em, self.global_step, context="eval")
+        return state
+
+    # ------------------------------------------------------------------
+    def run_one(self) -> bool:
+        cfg = self.cfg
+        self.i += 1
+        key_iter = jax.random.fold_in(self.root_key, self.i)
+
+        if cfg.METHOD.cls in ("PINN", "Diffusion", "FullyNonlinearSolver"):
+            from deeppicarditeration_tpu.training import baselines
+
+            baselines.run_baseline(self, key_iter)
+            return True
+
+        # fresh network (+ optional warm start, picard_iteration.py:244-251)
+        sol = init_solution(jax.random.fold_in(key_iter, 0), cfg,
+                            self.equation, module=self.module)
+        params = sol.params
+        if cfg.NETWORK.PRETRAIN_PATH is not None and self.i == 1:
+            params = ckpt.load_params(cfg.NETWORK.PRETRAIN_PATH, params)
+            self.u_current = Solution.from_net(self.module, params,
+                                               self.net_type,
+                                               self.equation.nx)
+        if cfg.NETWORK.RELOAD and self.i > 1:
+            params = ckpt.load_params(ckpt.ckpt_path(self.exp_dir, self.i - 1),
+                                      params)
+
+        gen = gen_config_from_cfg(cfg, self.i)
+        mode = self.generation_mode
+        with step_timer(f"generate[iter {self.i}]"):
+            ds = self._make_dataset(jax.random.fold_in(key_iter, 1), gen,
+                                    mode)
+
+        state = TrainState.create(params, self.tx_opt)
+        state = jax.device_put(state, self.repl)
+        state = self._train_iteration(jax.random.fold_in(key_iter, 2), state,
+                                      ds)
+
+        ckpt.save_params(ckpt.ckpt_path(self.exp_dir, self.i), state.params)
+        self.u_current = Solution.from_net(self.module, state.params,
+                                           self.net_type, self.equation.nx)
+        return True
+
+    def run(self):
+        for _ in range(self.N):
+            try:
+                if not self.run_one():
+                    break
+            except KeyboardInterrupt:
+                print("Interrupted... stopping the Picard loop "
+                      "(picard_iteration.py:290-294 semantics)")
+                break
+            self.u_history.append(self.u_current)
+        self.logger.close()
+        return self.u_current

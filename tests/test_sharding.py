@@ -1,0 +1,105 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from deeppicarditeration_tpu.equations import make_equation
+from deeppicarditeration_tpu.models.networks import MLP
+from deeppicarditeration_tpu.models.solution import Solution
+from deeppicarditeration_tpu.ops import estimators as est
+from deeppicarditeration_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+
+def test_mesh_covers_all_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == jax.device_count() == 8
+
+
+def test_generation_shards_over_data_axis(key):
+    """Sharded generation must give the same result as single-device
+    (the estimator is pointwise across collocation points)."""
+    nx = 4
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=1.0)
+    mod = MLP(neurons=(8,), activations=("Tanh",), out_dim=1)
+    params = mod.init(key, jnp.zeros((1, 1 + nx)))
+    sol = Solution.from_net(mod, params, "Value", nx)
+    gen = est.GenConfig(n_estimate_terminal=64, n_estimate_integral=64,
+                        t_always_uniform=True, chunk_elems=2 ** 12)
+    mesh = make_mesh()
+    tx = est.sample_tx(key, eq, 64, gen)
+
+    out_single = est.generate_with_gradients(key, eq, sol, tx, gen)
+
+    tx_sharded = shard_batch(tx, mesh)
+    sol_repl = jax.device_put(sol, replicated(mesh))
+    out_sharded = jax.jit(
+        lambda k, e, s, t: est.generate_with_gradients(k, e, s, t, gen),
+        out_shardings=data_sharding(mesh),
+    )(key, eq, sol_repl, tx_sharded)
+    np.testing.assert_allclose(np.asarray(out_single),
+                               np.asarray(out_sharded), rtol=2e-4, atol=1e-5)
+
+
+def test_dp_train_step_matches_single_device(key):
+    """Data-parallel gradients (XLA psum over the mesh) == single-device."""
+    import optax
+
+    from deeppicarditeration_tpu.training.trainer import (
+        TrainSpec,
+        TrainState,
+        compute_loss,
+    )
+
+    nx = 4
+    mod = MLP(neurons=(8,), activations=("Tanh",), out_dim=1)
+    params = mod.init(key, jnp.zeros((1, 1 + nx)))
+    spec = TrainSpec(net_type="Value", nx=nx, supervise_gradient=True,
+                     scaler_cls="FixedLossScaler",
+                     scaler_kwargs=(("fixed_weight", 1.0),))
+    tx_opt = optax.adam(1e-3)
+    tx = jax.random.uniform(key, (64, 1 + nx))
+    y = jax.random.uniform(jax.random.fold_in(key, 1), (64, 1 + nx))
+
+    def step(state, tx_b, y_b):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: compute_loss(mod, p, tx_b, y_b, spec),
+            has_aux=True)(state.params)
+        updates, opt_state = tx_opt.update(grads, state.opt_state,
+                                           state.params)
+        import optax as _o
+
+        return TrainState(params=_o.apply_updates(state.params, updates),
+                          opt_state=opt_state, step=state.step + 1), loss
+
+    state0 = TrainState.create(params, tx_opt)
+    _, loss_single = jax.jit(step)(state0, tx, y)
+
+    mesh = make_mesh()
+    state_r = jax.device_put(TrainState.create(params, tx_opt),
+                             replicated(mesh))
+    tx_s = jax.device_put(tx, data_sharding(mesh))
+    y_s = jax.device_put(y, data_sharding(mesh))
+    _, loss_dp = jax.jit(step)(state_r, tx_s, y_s)
+    np.testing.assert_allclose(float(loss_single), float(loss_dp), rtol=1e-5)
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
