@@ -1,0 +1,153 @@
+"""Pallas TPU kernels for the RNG-bound estimator paths.
+
+The integral estimator is MXU(matmul)-bound through the frozen network and
+is left to XLA (measured near bf16 peak). The terminal estimator is
+RNG/VPU-bound: per (t, x) point it draws M Gaussian jumps, evaluates the
+closed-form terminal g, and reduces a control-variate mean
+(data.py:899-926). This kernel fuses all of it in VMEM:
+
+  - Gaussian increments from the in-kernel PRNG (pltpu.prng_random_bits +
+    Box-Muller) — no HBM traffic for random bits;
+  - g evaluated as a traced closure (any jnp-implemented terminal works);
+  - the running (value, gradient) mean accumulated in an f32 VMEM scratch;
+  - lane padding to 128 masked out of the increments.
+
+Falls back to interpret mode off-TPU so the CPU test suite exercises the
+same code path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k
+
+
+def _uniform_from_bits(bits):
+    """uint32 bits -> float32 uniforms in [2^-24, 1]."""
+    # take the top 24 bits for a dense dyadic uniform, avoid exactly 0
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    return jnp.maximum(u, 1.0 / (1 << 24))
+
+
+def _normals(shape):
+    """Standard normals via Box-Muller on in-kernel PRNG bits."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u1 = _uniform_from_bits(b1)
+    u2 = _uniform_from_bits(b2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos((2.0 * math.pi) * u2)
+
+
+def _terminal_kernel(seed_ref, t_ref, x_ref, g0_ref, *rest, g_fn: Callable,
+                     alpha_sqrt: float, T: float, m: int, nx: int,
+                     nx_pad: int, external_noise: bool):
+    """One grid tile of the terminal CV estimator.
+
+    ``external_noise=True`` reads pre-generated standard normals from an
+    extra input ref (CPU interpreter path: the TPU interpreter stubs
+    prng_random_bits); on TPU the kernel generates them in VMEM."""
+    if external_noise:
+        noise_ref, out_ref, acc_ref = rest
+    else:
+        (out_ref, acc_ref) = rest
+    i = pl.program_id(0)
+    if not external_noise:
+        pltpu.prng_seed(seed_ref[0] + i)
+    t = t_ref[:]  # (tile_b, 1)
+    x = x_ref[:]  # (tile_b, nx_pad); pad columns are zero
+    g0 = g0_ref[:]  # (tile_b, 1)
+    sqrt_tt = jnp.sqrt(T - t)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    mask = (col < nx).astype(x.dtype)
+    inv_y = 1.0 / (sqrt_tt * alpha_sqrt)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(k, _):
+        if external_noise:
+            dW = noise_ref[:, k, :] * mask
+        else:
+            dW = _normals(x.shape) * mask
+        xT = x + sqrt_tt * alpha_sqrt * dW
+        gT = g_fn(xT)  # (tile_b, 1); pad columns are zero => g sees nx dims
+        diff = gT - g0
+        acc_ref[:, 0:1] += diff
+        acc_ref[:, 1:] += diff * dW * inv_y
+        return ()
+
+    jax.lax.fori_loop(0, m, body, ())
+    out = acc_ref[:] / m
+    out_ref[:] = out.at[:, 0:1].add(g0)
+
+
+def terminal_with_gradients_pallas(seed: int, eq, tx: jnp.ndarray, m: int,
+                                   tile_b: int = 256,
+                                   noise: jnp.ndarray | None = None,
+                                   interpret: bool | None = None):
+    """Pallas drop-in for estimate_terminal_with_gradients.
+
+    tx: (B, 1+nx) -> (B, 1+nx) terminal CV estimate. ``eq`` must expose
+    static alpha_sqrt/T and a closed-form jnp ``g`` (all DPI equations do;
+    the g's array params are traced into the kernel as constants).
+
+    ``noise`` (B, m, nx) standard normals switches the kernel to external
+    increments — the CPU-testable path (the TPU interpreter stubs the
+    in-kernel PRNG to zeros). On TPU leave it None for in-VMEM generation.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t, x = tx[:, :1], tx[:, 1:]
+    b, nx = x.shape
+    nx_pad = _round_up(nx, LANE)
+    tile = min(tile_b, b)
+    while b % tile:
+        tile -= 1
+    x_pad = jnp.pad(x, ((0, 0), (0, nx_pad - nx)))
+    g0 = eq.g(x)
+
+    def g_fn(x_padded):
+        return eq.g(x_padded[:, :nx])
+
+    external = noise is not None
+    kernel = functools.partial(
+        _terminal_kernel, g_fn=g_fn, alpha_sqrt=float(eq.alpha_sqrt),
+        T=float(eq.T), m=m, nx=nx, nx_pad=nx_pad, external_noise=external)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, nx_pad), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [seed_arr, t, x_pad, g0]
+    if external:
+        assert noise.shape == (b, m, nx)
+        noise_pad = jnp.pad(noise, ((0, 0), (0, 0), (0, nx_pad - nx)))
+        in_specs.append(pl.BlockSpec((tile, m, nx_pad), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(noise_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, 1 + nx_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1 + nx_pad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile, 1 + nx_pad), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return out[:, :1 + nx]

@@ -1,0 +1,95 @@
+"""Baseline solver smoke + sanity tests (PINN / D-DBSDE / DBDP).
+
+Tiny budgets: these check wiring, shapes, finiteness, and that a few
+hundred steps move the solution toward the oracle on a small problem.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from deeppicarditeration_tpu.config import default_cfg
+from deeppicarditeration_tpu.evaluation.evaluator import eval_solution
+from deeppicarditeration_tpu.training.picard import PicardRunner
+
+
+def _base_cfg(name, method, nx=4, epochs=150):
+    cfg = default_cfg()
+    cfg.NAME = name
+    cfg.FORCE = True
+    cfg.EQUATION.cls = "Cha"
+    cfg.EQUATION.kwargs = {"nx": nx, "alpha": 1.0, "k": 1.0, "T": 1.0}
+    cfg.METHOD.cls = method
+    cfg.PICARD.N = 1
+    cfg.TRAIN.BATCH_SIZE = 256
+    cfg.TRAIN.N_EPOCHS = epochs
+    cfg.TRAIN.LOSS.beta = 10.0
+    cfg.NETWORK.NEURONS = [32, 32]
+    cfg.NETWORK.ACTIVATIONS = ["Tanh", "Tanh"]
+    cfg.EVAL.L2_N_POINTS = 200
+    cfg.EVAL.FREQ = 100
+    cfg.EVAL.TEST_GRAD = False
+    return cfg
+
+
+def test_pinn_baseline_runs_and_improves(tmp_path):
+    cfg = _base_cfg("pinn_smoke", "PINN", epochs=600)
+    cfg.METHOD.num_v_samples = 4
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    runner.run_one()
+    m = eval_solution(jax.random.PRNGKey(0), runner.u_current,
+                      runner.equation, 400)
+    assert np.isfinite(m["rRMSE"])
+    assert m["rRMSE"] < 0.5, m  # zero-function baseline is 1.0
+
+
+def test_pinn_exact_laplacian_path(tmp_path):
+    cfg = _base_cfg("pinn_exact_lap", "PINN", epochs=50)
+    cfg.METHOD.num_v_samples = -1  # exact Laplacian (loop over dims)
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    runner.run_one()
+    m = eval_solution(jax.random.PRNGKey(0), runner.u_current,
+                      runner.equation, 200)
+    assert np.isfinite(m["rRMSE"])
+
+
+def test_pinn_sdgd_on_fully_nonlinear(tmp_path):
+    cfg = _base_cfg("pinn_sdgd", "PINN", epochs=50)
+    cfg.EQUATION.cls = "GBMEquationComplexExact"
+    cfg.EQUATION.kwargs = {"nx": 4, "alpha": 1.0, "T": 1.0}
+    cfg.DATA.HESSIAN_APPROXIMATION.method = "SDGD"
+    cfg.DATA.HESSIAN_APPROXIMATION.kwargs = {"v": 2}
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    runner.run_one()
+    m = eval_solution(jax.random.PRNGKey(0), runner.u_current,
+                      runner.equation, 200)
+    assert np.isfinite(m["rRMSE"])
+
+
+def test_diffusion_baseline_runs_and_improves(tmp_path):
+    cfg = _base_cfg("diff_smoke", "Diffusion", epochs=600)
+    cfg.METHOD.K = 10
+    cfg.METHOD.dt = 0.02
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    runner.run_one()
+    m = eval_solution(jax.random.PRNGKey(0), runner.u_current,
+                      runner.equation, 400)
+    assert np.isfinite(m["rRMSE"])
+    assert m["rRMSE"] < 0.5, m
+
+
+def test_dbdp_baseline_runs(tmp_path):
+    cfg = _base_cfg("dbdp_smoke", "FullyNonlinearSolver", epochs=1)
+    cfg.EQUATION.cls = "GBMEquationComplexExact"
+    cfg.EQUATION.kwargs = {"nx": 3, "alpha": 1.0, "T": 0.2}
+    cfg.METHOD.dt = 0.05  # K = 4
+    cfg.METHOD.num_sub_iter = 30
+    cfg.TRAIN.BATCH_SIZE = 128
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    runner.run_one()
+    logs = (runner.exp_dir / "metrics.jsonl").read_text().splitlines()
+    assert any('"context": "dbdp"' in l for l in logs)
+    import json
+
+    evals = [json.loads(l) for l in logs if '"context": "eval"' in l]
+    assert evals and np.isfinite(evals[-1]["rRMSE"])

@@ -1,0 +1,81 @@
+"""Pallas fused terminal-estimator kernel: correctness tests.
+
+On CPU the kernel runs under the interpreter with externally supplied
+increments (the TPU interpreter stubs the in-kernel PRNG), so the math can
+be checked EXACTLY against a plain jnp reference computation. The in-kernel
+PRNG path is validated statistically on real TPU hardware
+(@pytest.mark.tpu; skipped on CPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeppicarditeration_tpu.equations import make_equation
+from deeppicarditeration_tpu.ops.pallas_kernels import (
+    _uniform_from_bits,
+    terminal_with_gradients_pallas,
+)
+from tests.test_estimators import QuadraticToy
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def _reference_terminal(eq, tx, noise):
+    """Plain jnp version of the terminal CV estimator with given noise."""
+    t, x = tx[:, :1], tx[:, 1:]
+    b, nx = x.shape
+    m = noise.shape[1]
+    g0 = eq.g(x)
+    sqrt_tt = jnp.sqrt(eq.T - t)
+    XT = x[:, None, :] + sqrt_tt[:, None, :] * eq.alpha_sqrt * noise
+    diff = eq.g(XT) - g0[:, None, :]
+    val = jnp.mean(diff, axis=1) + g0
+    Y = noise / sqrt_tt[:, None, :] / eq.alpha_sqrt
+    grad = jnp.mean(diff * Y, axis=1)
+    return jnp.concatenate([val, grad], axis=-1)
+
+
+def test_uniform_from_bits_range():
+    bits = jnp.asarray([0, 1, 2 ** 32 - 1, 123456789], jnp.uint32)
+    u = _uniform_from_bits(bits)
+    assert float(u.min()) > 0.0
+    assert float(u.max()) <= 1.0
+
+
+@pytest.mark.parametrize("eq_factory", [
+    lambda: QuadraticToy(nx=3),
+    lambda: make_equation("Cha", nx=5, alpha=1.3, k=1.0, T=1.0),
+])
+def test_pallas_terminal_exact_vs_reference(eq_factory, key):
+    """Same noise through the kernel and the jnp reference: must agree to
+    float tolerance (validates the masked lane padding too)."""
+    eq = eq_factory()
+    nx, b, m = eq.nx, 16, 64
+    kt, kx, kn = jax.random.split(key, 3)
+    t = jax.random.uniform(kt, (b, 1)) * 0.8
+    x = jax.random.normal(kx, (b, nx))
+    tx = jnp.concatenate([t, x], axis=-1)
+    noise = jax.random.normal(kn, (b, m, nx))
+    out = terminal_with_gradients_pallas(0, eq, tx, m, tile_b=8, noise=noise)
+    ref = _reference_terminal(eq, tx, noise)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="in-kernel PRNG requires real TPU")
+def test_pallas_terminal_inkernel_prng_semigroup(key):
+    nx, b, m = 3, 16, 8192
+    eq = QuadraticToy(nx=nx)
+    kt, kx = jax.random.split(key)
+    t = jax.random.uniform(kt, (b, 1)) * 0.8
+    x = jax.random.normal(kx, (b, nx))
+    tx = jnp.concatenate([t, x], axis=-1)
+    out = terminal_with_gradients_pallas(42, eq, tx, m, tile_b=8)
+    expected_val = np.asarray(eq.g(x) + (eq.T - t) * eq.alpha * nx)
+    expected_grad = np.asarray(eq.g_x(x))
+    np.testing.assert_allclose(np.asarray(out[:, :1]), expected_val,
+                               rtol=0.1, atol=0.15)
+    np.testing.assert_allclose(np.asarray(out[:, 1:]), expected_grad,
+                               rtol=0.2, atol=0.3)
