@@ -43,20 +43,22 @@ def bench_tpu(b=4096, m=4096, nx=100, repeats=8):
                         chunk_elems=2 ** 25)
 
     @jax.jit
-    def generate(key, e, s):
+    def generate(key, e, s, salt):
         tx = est.sample_tx(key, e, b, gen)
-        return est.generate_with_gradients(key, e, s, tx, gen)
+        out = est.generate_with_gradients(key, e, s, tx, gen)
+        # scalar token: creates a data dependency so chained calls measure
+        # true device time even through remote-dispatch tunnels where
+        # block_until_ready is not a reliable completion barrier.
+        return out[0, 0] * 1e-9 + salt
 
     key = jax.random.PRNGKey(1)
-    out = generate(key, eq, sol)
-    jax.block_until_ready(out)  # compile + warmup
-    # amortized timing: queue `repeats` independent calls and block once —
-    # per-call host<->device dispatch latency (large through remote
-    # tunnels) is amortized; the device executes the calls back-to-back.
+    salt = jnp.zeros(())
+    salt = generate(key, eq, sol, salt)
+    float(salt)  # compile + warmup, forced to completion by host readback
     t0 = time.perf_counter()
-    outs = [generate(jax.random.fold_in(key, r), eq, sol)
-            for r in range(repeats)]
-    jax.block_until_ready(outs)
+    for r in range(repeats):
+        salt = generate(jax.random.fold_in(key, r), eq, sol, salt)
+    float(salt)
     dt = (time.perf_counter() - t0) / repeats
     samples = b * (2 * m)  # terminal + integral SDE samples per call
     return samples / dt, dt
