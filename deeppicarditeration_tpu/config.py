@@ -227,6 +227,13 @@ def default_cfg() -> Config:
     c.MESH.AXES = ["data"]
     c.MESH.SHAPE = None  # None => all local devices on one axis
 
+    # Matmul precision on the MXU: "default" (bf16 inputs, f32 accumulate),
+    # "float32"/"highest" (3-pass bf16 = full f32), "tensorfloat32".
+    # The f64 reference has no analogue; accuracy-sensitive runs should use
+    # "highest" (see PRECISION.md for the measured accuracy/speed tradeoff).
+    c.PRECISION = Config()
+    c.PRECISION.MATMUL = "default"
+
     c.LOGGING = Config()
     c.LOGGING.LOGGER = "jsonl"  # jsonl | tensorboard | none
     c.LOGGING.kwargs = Config()

@@ -81,9 +81,12 @@ class ExperimentEvaluator:
             out.append(rec)
         return out
 
-    def l2(self, n_points: int, key=None) -> List[Dict[str, float]]:
-        """L2 under the Picard t-law and at t = 0 per iteration
-        (experiment_evaluator.py:84-103)."""
+    def l2(self, n_points: int, key=None,
+           plots: bool = True) -> List[Dict[str, float]]:
+        """L2 under the Picard t-law and at t = 0 per iteration, with
+        error-scatter plots (experiment_evaluator.py:84-103)."""
+        from deeppicarditeration_tpu.evaluation.plots import plot_error
+
         key = key if key is not None else jax.random.PRNGKey(1234)
         eq, N = self.equation, self.cfg.PICARD.N
         out = []
@@ -98,6 +101,11 @@ class ExperimentEvaluator:
             t0 = jnp.zeros((n_points, 1))
             rec["l2_t0"] = l2_at_t(jax.random.fold_in(kt, 2), sol, eq,
                                    t0)["l2_error"]
+            if plots:
+                x = eq.sample_x(jax.random.fold_in(kt, 3), t_rand)
+                tx = jnp.concatenate([t_rand, x], axis=-1)
+                err = jnp.abs(sol.value(tx) - eq.exact_solution(t_rand, x))
+                plot_error(self.exp_dir, t_rand, x, err, f"iter_{i:03d}")
             print(f"Iter {i}: L2(td) = {rec['l2_td']:.4e}  "
                   f"L2(t0) = {rec['l2_t0']:.4e}")
             out.append(rec)

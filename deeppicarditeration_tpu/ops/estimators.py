@@ -52,6 +52,7 @@ class GenConfig:
     sample_bound: Optional[float] = None
     sdgd_v: Optional[int] = None  # SDGD sampled-diagonal width (None => full)
     estimate_delta_t: float = 0.0  # >0 => TD (short-horizon) estimators
+    tpu_prng: bool = False  # hardware-PRNG increments (Pallas kernel)
 
     def chunk(self, m: int, batch: int, nx: int) -> int:
         """Largest divisor of m with batch * chunk * nx <= chunk_elems."""
@@ -60,6 +61,18 @@ class GenConfig:
         while m % mc:
             mc -= 1
         return mc
+
+
+# Floor on (s - t) wherever it appears under 1/sqrt: in f32 the uniform
+# s-draw can produce s == t exactly (prob ~2^-24 per sample), which makes
+# the likelihood-ratio weight 0 * inf = NaN. The f64 reference never hits
+# this (prob ~2^-53); with f32 it fires about once per 10^7 samples and
+# a single NaN poisons the whole Kahan accumulator. Relative bias O(eps).
+_ST_FLOOR = 1e-6
+
+
+def _safe(st):
+    return jnp.maximum(st, _ST_FLOOR)
 
 
 def _scan_mean(key, m: int, mc: int, out_shape, chunk_sum_fn, dtype):
@@ -73,6 +86,20 @@ def _scan_mean(key, m: int, mc: int, out_shape, chunk_sum_fn, dtype):
 
     acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_chunks))
     return acc.value / m
+
+
+def _draw_normals(gen: "GenConfig", key, shape, dtype):
+    """dW draws: hardware-PRNG Pallas kernel when gen.tpu_prng, else
+    threefry. The normals are ~2/3 of generation wall time at M=4096
+    (see ops/pallas_kernels.py:tpu_normals)."""
+    if gen.tpu_prng:
+        from deeppicarditeration_tpu.ops.pallas_kernels import (
+            seed_from_key,
+            tpu_normals,
+        )
+
+        return tpu_normals(seed_from_key(key), shape, dtype)
+    return jax.random.normal(key, shape, dtype=dtype)
 
 
 def _sdgd_indices(key, shape, nx: int):
@@ -92,7 +119,7 @@ def estimate_terminal(key, eq, tx, gen: GenConfig):
     sqrt_Tt = jnp.sqrt(eq.T - t)
 
     def chunk_sum(k, ck):
-        dW = jax.random.normal(k, (b, mc, nx), dtype=x.dtype)
+        dW = _draw_normals(gen, k, (b, mc, nx), x.dtype)
         XT = x[:, None, :] + sqrt_Tt[:, None, :] * eq.alpha_sqrt * dW
         return jnp.sum(eq.g(XT), axis=1)
 
@@ -116,7 +143,7 @@ def estimate_integral(key, eq, sol: Solution, tx, gen: GenConfig):
         ks, kw, kh = jax.random.split(k, 3)
         u01 = jax.random.uniform(ks, (b, mc, 1), dtype=x.dtype)
         s = t[:, None, :] + u01 * (eq.T - t)[:, None, :]
-        dW = jax.random.normal(kw, (b, mc, nx), dtype=x.dtype)
+        dW = _draw_normals(gen, kw, (b, mc, nx), x.dtype)
         Xs = x[:, None, :] + jnp.sqrt(s - t[:, None, :]) * eq.alpha_sqrt * dW
         idx = (_sdgd_indices(kh, (b, mc, gen.sdgd_v), nx)
                if (eq.has_hessian_term and gen.sdgd_v) else None)
@@ -141,7 +168,7 @@ def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
     inv_y = 1.0 / (sqrt_Tt * eq.alpha_sqrt)  # Y = dW * inv_y
 
     def chunk_sum(k, ck):
-        dW = jax.random.normal(k, (b, mc, nx), dtype=x.dtype)
+        dW = _draw_normals(gen, k, (b, mc, nx), x.dtype)
         XT = x[:, None, :] + sqrt_Tt[:, None, :] * eq.alpha_sqrt * dW
         diff = eq.g(XT) - g0[:, None, :]  # (B, mc, 1)
         val = jnp.sum(diff, axis=1)  # (B, 1)
@@ -197,7 +224,7 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
         ks, kw, kh, kb = jax.random.split(k, 4)
         u01 = jax.random.uniform(ks, (b, mc, 1), dtype=x.dtype)
         s = t[:, None, :] + u01 * Tt[:, None, :]
-        dW = jax.random.normal(kw, (b, mc, nx), dtype=x.dtype)
+        dW = _draw_normals(gen, kw, (b, mc, nx), x.dtype)
         st = s - t[:, None, :]
         Xs = x[:, None, :] + jnp.sqrt(st) * eq.alpha_sqrt * dW
         idx = (_sdgd_indices(kh, (b, mc, gen.sdgd_v), nx)
@@ -212,7 +239,7 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
         if idx is not None:
             # with a per-sample baseline the value slot keeps +f0_b (T-t)
             val = val + jnp.sum(Tt[:, None, :] * f0_b, axis=1)
-        inv_y = 1.0 / (jnp.sqrt(st) * eq.alpha_sqrt)  # (B, mc, 1)
+        inv_y = 1.0 / (jnp.sqrt(_safe(st)) * eq.alpha_sqrt)  # (B, mc, 1)
         grad = jnp.einsum("bmo,bmn->bn", diff * inv_y, dW)
         return jnp.concatenate([val, grad], axis=-1)
 
@@ -242,7 +269,7 @@ def estimate_terminal_with_gradients_and_hessians(key, eq, tx,
     def chunk_sum(k, ck):
         kw, kh = jax.random.split(k)
         # value/gradient: one-shot jump (two half-jumps compose to this)
-        dW = jax.random.normal(kw, (b, mc, nx), dtype=x.dtype)
+        dW = _draw_normals(gen, kw, (b, mc, nx), x.dtype)
         XT = x[:, None, :] + sqrt_Tt[:, None, :] * eq.alpha_sqrt * dW
         diff = eq.g(XT) - g0[:, None, :]
         val = jnp.sum(diff, axis=1)
@@ -251,8 +278,8 @@ def estimate_terminal_with_gradients_and_hessians(key, eq, tx,
         #   W1 ~ sqrt(T-t) N(0, I);  X± = x ± sqrt(a) W1
         #   dlt = (g(X+) + g(X-) - 2 g(x)) / 2 / (T-t)
         #   H = E[dlt W1 W1^T / (T-t)] - E[dlt] I
-        W1 = sqrt_Tt[:, None, :] * jax.random.normal(kh, (b, mc, nx),
-                                                     dtype=x.dtype)
+        W1 = sqrt_Tt[:, None, :] * _draw_normals(gen, kh, (b, mc, nx),
+                                                 x.dtype)
         Xp = x[:, None, :] + eq.alpha_sqrt * W1
         Xm = x[:, None, :] - eq.alpha_sqrt * W1
         dlt = (eq.g(Xp) + eq.g(Xm) - 2.0 * g0[:, None, :]) / 2.0 / Tt[:, None, :]
@@ -285,21 +312,21 @@ def estimate_integral_with_gradients_and_hessians(key, eq, sol: Solution,
         # in the 1/(s-t)^2 Hessian weight (data.py:848)
         s = jnp.minimum(t[:, None, :] + u01 * Tt[:, None, :] + 1e-4, eq.T)
         st = s - t[:, None, :]
-        dW = jax.random.normal(kw, (b, mc, nx), dtype=x.dtype)
+        dW = _draw_normals(gen, kw, (b, mc, nx), x.dtype)
         Xs = x[:, None, :] + jnp.sqrt(st) * eq.alpha_sqrt * dW
         f = get_f(eq, sol, s, Xs)
         diff = Tt[:, None, :] * (f - f0[:, None, :])
         val = jnp.sum(diff, axis=1)
-        inv_y = 1.0 / (jnp.sqrt(st) * eq.alpha_sqrt)
+        inv_y = 1.0 / (jnp.sqrt(_safe(st)) * eq.alpha_sqrt)
         grad = jnp.einsum("bmo,bmn->bn", diff * inv_y, dW)
         # antithetic Hessian part (data.py:879-894)
-        W2 = jnp.sqrt(st) * jax.random.normal(kh, (b, mc, nx), dtype=x.dtype)
+        W2 = jnp.sqrt(st) * _draw_normals(gen, kh, (b, mc, nx), x.dtype)
         Xp = x[:, None, :] + eq.alpha_sqrt * W2
         Xm = x[:, None, :] - eq.alpha_sqrt * W2
         fp = get_f(eq, sol, s, Xp)
         fm = get_f(eq, sol, s, Xm)
-        dlt = (fp + fm - 2.0 * f0[:, None, :]) / 2.0 / st
-        w = dlt / st
+        dlt = (fp + fm - 2.0 * f0[:, None, :]) / 2.0 / _safe(st)
+        w = dlt / _safe(st)
         part1 = jnp.einsum("bmi,bmj->bij", w[..., 0:1] * W2, W2)
         dlt_sum = jnp.sum(dlt, axis=1)
         eye = jnp.eye(nx, dtype=x.dtype)
@@ -330,7 +357,7 @@ def estimate_terminal_with_gradients_td(key, eq, sol: Solution, tx,
     at_T = (t_next >= eq.T)
 
     def chunk_sum(k, ck):
-        dW = jax.random.normal(k, (b, mc, nx), dtype=x.dtype)
+        dW = _draw_normals(gen, k, (b, mc, nx), x.dtype)
         XT = x[:, None, :] + sqrt_dt[:, None, :] * eq.alpha_sqrt * dW
         t_next_b = jnp.broadcast_to(t_next[:, None, :], (b, mc, 1))
         gT = jnp.where(at_T[:, None, :], eq.g(XT),
@@ -361,7 +388,7 @@ def estimate_integral_with_gradients_td(key, eq, sol: Solution, tx,
         u01 = jax.random.uniform(ks, (b, mc, 1), dtype=x.dtype)
         s = t[:, None, :] + u01 * horizon[:, None, :]
         st = s - t[:, None, :]
-        dW = jax.random.normal(kw, (b, mc, nx), dtype=x.dtype)
+        dW = _draw_normals(gen, kw, (b, mc, nx), x.dtype)
         Xs = x[:, None, :] + jnp.sqrt(st) * eq.alpha_sqrt * dW
         idx = (_sdgd_indices(kh, (b, mc, gen.sdgd_v), nx)
                if (eq.has_hessian_term and gen.sdgd_v) else None)
@@ -374,7 +401,7 @@ def estimate_integral_with_gradients_td(key, eq, sol: Solution, tx,
         val = jnp.sum(diff, axis=1)
         if idx is not None:
             val = val + jnp.sum(horizon[:, None, :] * f0_b, axis=1)
-        inv_y = 1.0 / (jnp.sqrt(st) * eq.alpha_sqrt)
+        inv_y = 1.0 / (jnp.sqrt(_safe(st)) * eq.alpha_sqrt)
         grad = jnp.einsum("bmo,bmn->bn", diff * inv_y, dW)
         return jnp.concatenate([val, grad], axis=-1)
 
@@ -397,7 +424,7 @@ def estimate_terminal_with_gradients_td_bygx(key, eq, sol: Solution, tx,
     sqrt_dt = jnp.sqrt(t_next - t)
 
     def chunk_sum(k, ck):
-        dW = jax.random.normal(k, (b, mc, nx), dtype=x.dtype)
+        dW = _draw_normals(gen, k, (b, mc, nx), x.dtype)
         x_next = x[:, None, :] + sqrt_dt[:, None, :] * eq.alpha_sqrt * dW
         gx = eq.g_x(x_next)
         t_next_b = jnp.broadcast_to(t_next[:, None, :], (b, mc, 1))
@@ -454,7 +481,7 @@ def generate_two_layer(key, eq, sol: Solution, sol_m2: Solution, tx,
         ks, kw = jax.random.split(k)
         u01 = jax.random.uniform(ks, (b, mc, 1), dtype=x.dtype)
         s = t[:, None, :] + u01 * (eq.T - t)[:, None, :]
-        dW = jax.random.normal(kw, (b, mc, nx), dtype=x.dtype)
+        dW = _draw_normals(gen, kw, (b, mc, nx), x.dtype)
         Xs = x[:, None, :] + jnp.sqrt(s - t[:, None, :]) * eq.alpha_sqrt * dW
         f1 = get_f(eq, sol, s, Xs)
         f2 = get_f(eq, sol_m2, s, Xs)

@@ -51,6 +51,56 @@ def _normals(shape):
     return r * jnp.cos((2.0 * math.pi) * u2)
 
 
+def _normals_kernel(seed_ref, out_ref):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    out_ref[:] = _normals(out_ref.shape)
+
+
+def tpu_normals(seed, shape, dtype=jnp.float32, row_block: int = 4096,
+                interpret: bool | None = None):
+    """Standard normals from the hardware PRNG (Box-Muller in VMEM).
+
+    Drop-in replacement for jax.random.normal on the MC-estimator hot path:
+    threefry normals cost ~2/3 of DPI generation time at M=4096 (measured:
+    ~3.4e9 normals per Burgers-100d generation call); the in-kernel PRNG
+    makes random-bit generation ~free relative to the HBM write.
+
+    ``seed`` is an int32 scalar (array or traced); streams are decorrelated
+    across grid tiles by program_id. Off-TPU falls back to
+    jax.random.normal seeded from the same scalar.
+    """
+    n = 1
+    for d in shape:
+        n *= int(d)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    if interpret:
+        # CPU fallback: the TPU interpreter stubs the PRNG; use threefry
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed[0])
+        return jax.random.normal(key, shape, dtype)
+    rows = _round_up(pl.cdiv(n, LANE), 8)
+    rb = min(row_block, rows)
+    while rows % rb:
+        rb -= 1
+    flat = pl.pallas_call(
+        _normals_kernel,
+        grid=(rows // rb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((rb, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANE), dtype),
+    )(seed)
+    return flat.reshape(-1)[:n].reshape(shape)
+
+
+def seed_from_key(key, salt: int = 0):
+    """Derive an int32 scalar seed from a jax PRNG key (for tpu_normals)."""
+    data = jax.random.key_data(key).astype(jnp.uint32)
+    mixed = data.reshape(-1)[0] ^ (data.reshape(-1)[-1] * jnp.uint32(2654435761))
+    return (mixed ^ jnp.uint32(salt * 0x9E3779B9)).astype(jnp.int32)
+
+
 def _terminal_kernel(seed_ref, t_ref, x_ref, g0_ref, *rest, g_fn: Callable,
                      alpha_sqrt: float, T: float, m: int, nx: int,
                      nx_pad: int, external_noise: bool):

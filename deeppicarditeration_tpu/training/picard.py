@@ -94,6 +94,14 @@ class PicardRunner:
 
         self.seed = int(cfg.SEED)
         self.root_key = jax.random.PRNGKey(self.seed)
+        matmul_prec = (cfg.get("PRECISION") or {}).get("MATMUL", "default")
+        if matmul_prec and matmul_prec != "default":
+            jax.config.update("jax_default_matmul_precision", matmul_prec)
+        if str(cfg.DATA.FLOAT).lower() in ("double", "float64", "f64", "64") \
+                and not jax.config.jax_enable_x64:
+            print("DATA.FLOAT: double requested; TPUs have no native f64 — "
+                  "running f32 + Kahan-compensated accumulation "
+                  "(enable JAX x64 on CPU for f64 parity checks)")
         self.equation = make_equation(cfg.EQUATION.cls, seed=self.seed,
                                       **(cfg.EQUATION.kwargs or {}))
         eq = self.equation

@@ -1,0 +1,74 @@
+"""f32+Kahan vs f64 parity for the MC estimators (survey §7.3.1).
+
+The reference runs float64 everywhere; the TPU build runs f32 with
+compensated accumulation. This test computes the same Picard target with
+both precisions (f64 in a subprocess with JAX x64) and asserts the f32
+estimate sits within a small fraction of the Monte-Carlo noise scale of
+the f64 one — i.e. summation precision is not the accuracy bottleneck.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PAYLOAD = textwrap.dedent("""
+    import json
+    import jax, jax.numpy as jnp
+    import sys
+    sys.path.insert(0, {repo!r})
+    from deeppicarditeration_tpu.equations import make_equation
+    from deeppicarditeration_tpu.models.solution import Solution
+    from deeppicarditeration_tpu.ops import estimators as est
+
+    dtype = jnp.float64 if {x64} else jnp.float32
+    nx, b, m = 4, 8, 65536
+    eq = make_equation('Cha', nx=nx, alpha=1.0, k=1.0, T=1.0)
+    sol = Solution.oracle(eq)
+    gen = est.GenConfig(n_estimate_terminal=m, n_estimate_integral=m,
+                        chunk_elems=2 ** 16, t_always_uniform=True,
+                        t_uniform_eps=0.01)
+    key = jax.random.PRNGKey(123)
+    tx = est.sample_tx(key, eq, b, gen, dtype=dtype)
+    out = est.generate_with_gradients(jax.random.fold_in(key, 1), eq, sol,
+                                      tx, gen)
+    t, x = tx[:, :1], tx[:, 1:]
+    exact = jnp.concatenate([eq.exact_solution(t, x), eq.u_x(t, x)], -1)
+    err = jnp.abs(out - exact)
+    print(json.dumps({{
+        'dtype': str(out.dtype),
+        'max_value_err': float(err[:, 0].max()),
+        'max_grad_err': float(err[:, 1:].max()),
+    }}))
+""")
+
+
+def _run(x64: bool):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_ENABLE_X64"] = "1" if x64 else "0"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _PAYLOAD.format(repo=repo, x64=x64)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_f32_kahan_matches_f64_reference():
+    r64 = _run(x64=True)
+    r32 = _run(x64=False)
+    assert r64["dtype"] == "float64"
+    assert r32["dtype"] == "float32"
+    # both precisions hit the same MC-noise accuracy floor vs the exact
+    # solution: f32 summation must not degrade it materially (< 50% excess)
+    assert r32["max_value_err"] < max(1.5 * r64["max_value_err"], 0.01), (
+        r32, r64)
+    assert r32["max_grad_err"] < max(1.5 * r64["max_grad_err"], 0.05), (
+        r32, r64)
