@@ -53,14 +53,17 @@ class GenConfig:
     sdgd_v: Optional[int] = None  # SDGD sampled-diagonal width (None => full)
     estimate_delta_t: float = 0.0  # >0 => TD (short-horizon) estimators
     tpu_prng: bool = False  # hardware-PRNG increments (Pallas kernel)
+    antithetic: bool = False  # +/- dW pairs: half the draws, lower variance
 
     def chunk(self, m: int, batch: int, nx: int) -> int:
-        """Largest divisor of m with batch * chunk * nx <= chunk_elems."""
+        """Largest divisor of m with batch * chunk * nx <= chunk_elems
+        (even when antithetic pairing is on)."""
         target = max(1, self.chunk_elems // max(batch * nx, 1))
         mc = min(m, target)
-        while m % mc:
+        step = 2 if self.antithetic else 1
+        while m % mc or mc % step:
             mc -= 1
-        return mc
+        return max(mc, step)
 
 
 # Floor on (s - t) wherever it appears under 1/sqrt: in f32 the uniform
@@ -100,6 +103,14 @@ def _draw_normals(gen: "GenConfig", key, shape, dtype):
 
         return tpu_normals(seed_from_key(key), shape, dtype)
     return jax.random.normal(key, shape, dtype=dtype)
+
+
+def _draw_increments(gen: "GenConfig", key, b, mc, nx, dtype):
+    """Chunk increments dW (b, mc, nx); antithetic => +/- pairs."""
+    if gen.antithetic:
+        half = _draw_normals(gen, key, (b, mc // 2, nx), dtype)
+        return jnp.concatenate([half, -half], axis=1)
+    return _draw_normals(gen, key, (b, mc, nx), dtype)
 
 
 def _sdgd_indices(key, shape, nx: int):
@@ -168,7 +179,7 @@ def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
     inv_y = 1.0 / (sqrt_Tt * eq.alpha_sqrt)  # Y = dW * inv_y
 
     def chunk_sum(k, ck):
-        dW = _draw_normals(gen, k, (b, mc, nx), x.dtype)
+        dW = _draw_increments(gen, k, b, mc, nx, x.dtype)
         XT = x[:, None, :] + sqrt_Tt[:, None, :] * eq.alpha_sqrt * dW
         diff = eq.g(XT) - g0[:, None, :]  # (B, mc, 1)
         val = jnp.sum(diff, axis=1)  # (B, 1)
@@ -223,8 +234,10 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
     def chunk_sum(k, ck):
         ks, kw, kh, kb = jax.random.split(k, 4)
         u01 = jax.random.uniform(ks, (b, mc, 1), dtype=x.dtype)
+        if gen.antithetic:  # pair shares the same s
+            u01 = jnp.concatenate([u01[:, :mc // 2], u01[:, :mc // 2]], 1)
         s = t[:, None, :] + u01 * Tt[:, None, :]
-        dW = _draw_normals(gen, kw, (b, mc, nx), x.dtype)
+        dW = _draw_increments(gen, kw, b, mc, nx, x.dtype)
         st = s - t[:, None, :]
         Xs = x[:, None, :] + jnp.sqrt(st) * eq.alpha_sqrt * dW
         idx = (_sdgd_indices(kh, (b, mc, gen.sdgd_v), nx)

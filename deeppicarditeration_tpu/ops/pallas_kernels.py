@@ -35,14 +35,31 @@ def _round_up(n: int, k: int) -> int:
 
 
 def _uniform_from_bits(bits):
-    """uint32 bits -> float32 uniforms in [2^-24, 1]."""
-    # take the top 24 bits for a dense dyadic uniform, avoid exactly 0
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-    return jnp.maximum(u, 1.0 / (1 << 24))
+    """uint32 bits -> float32 uniforms in (0, 1].
+
+    Mantissa bit-trick (no int->float cast; Mosaic-friendly): stuff the top
+    23 bits into an f32 mantissa with exponent 0 -> [1, 2), then 2 - u maps
+    to (0, 1]."""
+    f = jax.lax.bitcast_convert_type(
+        (bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return 2.0 - f
 
 
 def _normals(shape):
-    """Standard normals via Box-Muller on in-kernel PRNG bits."""
+    """Standard normals via Box-Muller on in-kernel PRNG bits.
+
+    Uses BOTH outputs of each Box-Muller pair (cos and sin) when the last
+    dim is even — one log/sqrt and one uniform pair per TWO normals."""
+    if shape[-1] % 2 == 0:
+        half = shape[:-1] + (shape[-1] // 2,)
+        b1 = pltpu.bitcast(pltpu.prng_random_bits(half), jnp.uint32)
+        b2 = pltpu.bitcast(pltpu.prng_random_bits(half), jnp.uint32)
+        u1 = _uniform_from_bits(b1)
+        u2 = _uniform_from_bits(b2)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = (2.0 * math.pi) * u2
+        return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)],
+                               axis=-1)
     b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     u1 = _uniform_from_bits(b1)
