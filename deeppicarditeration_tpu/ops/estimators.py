@@ -54,6 +54,7 @@ class GenConfig:
     estimate_delta_t: float = 0.0  # >0 => TD (short-horizon) estimators
     tpu_prng: bool = False  # hardware-PRNG increments (Pallas kernel)
     antithetic: bool = False  # +/- dW pairs: half the draws, lower variance
+    pallas_terminal: bool = False  # fused VMEM terminal estimator kernel
 
     def chunk(self, m: int, batch: int, nx: int) -> int:
         """Largest divisor of m with batch * chunk * nx <= chunk_elems
@@ -170,6 +171,15 @@ def estimate_integral(key, eq, sol: Solution, tx, gen: GenConfig):
 
 def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
     """E[(g(X_T) - g(x)) (1, Y)] + (g(x), 0); (B, 1 + nx)."""
+    if gen.pallas_terminal:
+        from deeppicarditeration_tpu.ops.pallas_kernels import (
+            seed_from_key,
+            terminal_with_gradients_pallas,
+        )
+
+        return terminal_with_gradients_pallas(
+            seed_from_key(key), eq, tx, gen.n_estimate_terminal,
+            tile_b=1024)
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_terminal

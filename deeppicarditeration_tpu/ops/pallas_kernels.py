@@ -157,7 +157,9 @@ def _terminal_kernel(seed_ref, t_ref, x_ref, g0_ref, *rest, g_fn: Callable,
 
     jax.lax.fori_loop(0, m, body, ())
     out = acc_ref[:] / m
-    out_ref[:] = out.at[:, 0:1].add(g0)
+    # two sliced stores (Mosaic has no scatter-add on values)
+    out_ref[:, 0:1] = out[:, 0:1] + g0
+    out_ref[:, 1:] = out[:, 1:]
 
 
 def terminal_with_gradients_pallas(seed: int, eq, tx: jnp.ndarray, m: int,
