@@ -229,10 +229,12 @@ def default_cfg() -> Config:
 
     # Matmul precision on the MXU: "default" (bf16 inputs, f32 accumulate),
     # "float32"/"highest" (3-pass bf16 = full f32), "tensorfloat32".
-    # The f64 reference has no analogue; accuracy-sensitive runs should use
-    # "highest" (see PRECISION.md for the measured accuracy/speed tradeoff).
+    # Measured on v5e (scripts/check_matmul_precision.py): "highest" costs
+    # <3% wall time on the DPI generation workload (it is RNG/VPU-bound,
+    # not matmul-bound) and removes a ~0.2% value / ~4% gradient-head
+    # rounding divergence — so full f32 is the default (PRECISION.md).
     c.PRECISION = Config()
-    c.PRECISION.MATMUL = "default"
+    c.PRECISION.MATMUL = "highest"
 
     c.LOGGING = Config()
     c.LOGGING.LOGGER = "jsonl"  # jsonl | tensorboard | none
