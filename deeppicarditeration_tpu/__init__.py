@@ -18,4 +18,33 @@ __version__ = "0.1.0"
 
 from deeppicarditeration_tpu.config import Config, load_cfg, default_cfg
 
-__all__ = ["Config", "load_cfg", "default_cfg", "__version__"]
+__all__ = ["Config", "load_cfg", "default_cfg", "__version__",
+           "PicardRunner", "ExperimentEvaluator", "make_equation",
+           "Solution", "GenConfig"]
+
+
+def __getattr__(name):
+    # lazy heavy imports so `import deeppicarditeration_tpu` stays light
+    if name == "PicardRunner":
+        from deeppicarditeration_tpu.training.picard import PicardRunner
+
+        return PicardRunner
+    if name == "ExperimentEvaluator":
+        from deeppicarditeration_tpu.evaluation.experiment import (
+            ExperimentEvaluator,
+        )
+
+        return ExperimentEvaluator
+    if name == "make_equation":
+        from deeppicarditeration_tpu.equations import make_equation
+
+        return make_equation
+    if name == "Solution":
+        from deeppicarditeration_tpu.models.solution import Solution
+
+        return Solution
+    if name == "GenConfig":
+        from deeppicarditeration_tpu.ops.estimators import GenConfig
+
+        return GenConfig
+    raise AttributeError(name)

@@ -27,14 +27,21 @@ def main():
                     default="configs/burgers/base_100d_T1.0_w0.0.yaml")
     ap.add_argument("--exp-root", default="/tmp/dpi_tpu_runs")
     ap.add_argument("--eval-points", type=int, default=2000)
+    ap.add_argument("--precision", default=None,
+                    help="override PRECISION.MATMUL (e.g. default|highest)")
+    ap.add_argument("--override", nargs="*", default=[],
+                    help="extra KEY value config overrides")
     args = ap.parse_args()
 
     from deeppicarditeration_tpu.config import load_cfg
     from deeppicarditeration_tpu.evaluation.evaluator import eval_solution
     from deeppicarditeration_tpu.training.picard import PicardRunner
 
-    cfg = load_cfg(ROOT / args.config,
-                   ["PICARD.N", str(args.iters), "EVAL.FREQ", "None"])
+    overrides = ["PICARD.N", str(args.iters), "EVAL.FREQ", "None"]
+    if args.precision:
+        overrides += ["PRECISION.MATMUL", args.precision]
+    overrides += list(args.override)
+    cfg = load_cfg(ROOT / args.config, overrides)
     runner = PicardRunner(cfg, exp_root=pathlib.Path(args.exp_root))
     out_path = ROOT / args.out
     out_path.parent.mkdir(parents=True, exist_ok=True)
