@@ -220,12 +220,76 @@ class PicardRunner:
         return jax.jit(run_steps, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
+    def _make_epoch_scan(self, steps: int, bs: int, shuffle: bool):
+        """All epochs in ONE dispatch: scan(epochs) of scan(steps), with
+        on-device permutation per epoch. Used when EVAL.FREQ is None —
+        minimizes host round trips (the per-iteration wall through remote
+        dispatch paths is latency-, not compute-, dominated)."""
+        module, tx_opt, spec = self.module, self.tx_opt, self.spec
+        needs_value = self._opt_needs_value
+
+        def run_epochs(state: TrainState, ds_tx, ds_y, shuffle_keys,
+                       step_keys):
+            n = ds_tx.shape[0]
+
+            def epoch_body(st, ek):
+                k_shuf, k_steps = ek
+                if shuffle:
+                    perm = jax.random.permutation(k_shuf, n)[: steps * bs]
+                else:
+                    perm = jnp.arange(steps * bs)
+                txs = jnp.take(ds_tx, perm, axis=0).reshape(steps, bs, -1)
+                ys = jnp.take(ds_y, perm, axis=0).reshape(steps, bs, -1)
+                keys = jax.random.split(k_steps, steps)
+
+                def body(s, batch):
+                    tx, y, k = batch
+                    (loss, metrics), grads = jax.value_and_grad(
+                        lambda p: compute_loss(module, p, tx, y, spec, k),
+                        has_aux=True)(s.params)
+                    extra = {"value": loss} if needs_value else {}
+                    updates, opt_state = tx_opt.update(
+                        grads, s.opt_state, s.params, **extra)
+                    params = optax.apply_updates(s.params, updates)
+                    return (TrainState(params=params, opt_state=opt_state,
+                                       step=s.step + 1), metrics)
+
+                st, ms = jax.lax.scan(body, st, (txs, ys, keys))
+                return st, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+            state, ms = jax.lax.scan(epoch_body, state,
+                                     (shuffle_keys, step_keys))
+            return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+        return jax.jit(run_epochs, donate_argnums=(0,))
+
     def _train_iteration(self, key, state: TrainState,
                          ds: DeviceDataset) -> TrainState:
         cfg = self.cfg
         bs = int(cfg.TRAIN.BATCH_SIZE)
         n_epochs = int(cfg.TRAIN.N_EPOCHS)
         freq = cfg.EVAL.FREQ
+        shuffle = cfg.DATA.SHUFFLE is not False
+
+        if freq is None:
+            # fused path: one dispatch for the whole iteration's training
+            steps = ds.size // bs
+            run_epochs = self._jitted(("epoch_scan", steps, bs, shuffle),
+                                      lambda: self._make_epoch_scan(
+                                          steps, bs, shuffle))
+            shuffle_keys = jax.random.split(jax.random.fold_in(key, 0),
+                                            n_epochs)
+            step_keys = jax.random.split(jax.random.fold_in(key, 1),
+                                         n_epochs)
+            with step_timer("train[fused]"):
+                state, metrics = run_epochs(state, ds.tx, ds.y,
+                                            shuffle_keys, step_keys)
+            self.global_step += n_epochs * steps
+            self.logger.log({**{k: float(v) for k, v in metrics.items()},
+                             "iter": self.i, "epoch": n_epochs - 1},
+                            self.global_step, context="train")
+            return state
+
         run_steps = self._jitted("multi_step", self._make_multi_step)
 
         for epoch in range(n_epochs):
