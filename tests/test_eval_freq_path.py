@@ -1,0 +1,44 @@
+"""Segmented training path with in-training eval (EVAL.FREQ set)."""
+
+import json
+
+from deeppicarditeration_tpu.training.picard import PicardRunner
+from tests.test_picard_e2e import _tiny_cfg
+
+
+def test_eval_freq_segments_and_logs(tmp_path):
+    cfg = _tiny_cfg(tmp_path, **{"NAME": "freq_test", "PICARD.N": 1,
+                                 "TRAIN.N_EPOCHS": 4, "EVAL.FREQ": 2,
+                                 "EVAL.L2_N_POINTS": 100})
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    runner.run()
+    lines = [json.loads(l) for l in
+             (runner.exp_dir / "metrics.jsonl").read_text().splitlines()]
+    evals = [r for r in lines if r["context"] == "eval"]
+    trains = [r for r in lines if r["context"] == "train"]
+    # 4 epochs x (4 steps / freq 2) = 8 segments, each with eval + train log
+    assert len(evals) >= 4
+    assert len(trains) >= 4
+    assert all("rRMSE" in r for r in evals)
+    assert all("rRMSEg" in r for r in evals)  # TEST_GRAD: true in fixture
+
+
+def test_fused_and_segmented_share_loss_scale(tmp_path):
+    """Fused (FREQ None) and segmented (FREQ set) paths train equivalently
+    well on the same tiny problem."""
+    import jax
+
+    from deeppicarditeration_tpu.evaluation.evaluator import eval_solution
+
+    results = {}
+    for name, freq in (("fused_p", None), ("seg_p", 2)):
+        cfg = _tiny_cfg(tmp_path, **{"NAME": name, "PICARD.N": 1,
+                                     "TRAIN.N_EPOCHS": 10,
+                                     "EVAL.FREQ": freq,
+                                     "EVAL.L2_N_POINTS": 100})
+        runner = PicardRunner(cfg, exp_root=tmp_path)
+        runner.run()
+        m = eval_solution(jax.random.PRNGKey(0), runner.u_current,
+                          runner.equation, 400)
+        results[name] = m["rRMSE"]
+    assert abs(results["fused_p"] - results["seg_p"]) < 0.15, results
