@@ -86,11 +86,9 @@ class PISGradNet(nn.Module):
         self.timestep_coeff = jnp.linspace(0.1, 100.0, self.channels)[None, :]
         self.t_encoder = [nn.Dense(self.channels, param_dtype=self.param_dtype)
                           for _ in range(2)]
-        n_smooth = 2 + len(self.hidden_shapes)
         widths = [self.channels] * (1 + len(self.hidden_shapes)) + [self.dim]
         self.smooth_net = [nn.Dense(w, param_dtype=self.param_dtype)
                            for w in widths]
-        del n_smooth
         self.nn_module = [nn.Dense(w, param_dtype=self.param_dtype)
                           for w in list(self.hidden_shapes) + [self.dim]]
 

@@ -46,7 +46,3 @@ def shard_batch(batch, mesh: Mesh):
 
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
-
-
-def pad_to_multiple(n: int, k: int) -> int:
-    return ((n + k - 1) // k) * k

@@ -60,7 +60,9 @@ def make_optimizer(opt_cfg) -> Tuple[optax.GradientTransformation, bool]:
     cls = opt_cfg.get("cls", "Adam")
     kwargs = dict(opt_cfg.get("kwargs", {}) or {})
     lr = kwargs.pop("lr", 1e-3)
-    kwargs.pop("weight_decay", None) if cls == "Adam" else None
+    if cls == "Adam":
+        # torch.optim.Adam accepts weight_decay; optax.adam does not
+        kwargs.pop("weight_decay", None)
     sched_cfg = opt_cfg.get("SCHEDULER", {}) or {}
     sched_cls = sched_cfg.get("cls")
     sched_kwargs = dict(sched_cfg.get("kwargs", {}) or {})
