@@ -9,6 +9,7 @@ framework, survey §3.1).
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -97,7 +98,6 @@ def train_pinn(runner, key):
             loss = loss + terminal_weight * jnp.mean((uT - eq.g(xT)) ** 2)
         return loss
 
-    @jax.jit
     def step(params, opt_state, k):
         loss, grads = jax.value_and_grad(loss_fn)(params, k)
         updates, opt_state = tx_opt.update(grads, opt_state, params)
@@ -166,7 +166,6 @@ def train_diffusion(runner, key):
             loss = loss + terminal_weight * jnp.mean((uT - eq.g(xT)) ** 2)
         return loss
 
-    @jax.jit
     def step(params, opt_state, k):
         loss, grads = jax.value_and_grad(loss_fn)(params, k)
         updates, opt_state = tx_opt.update(grads, opt_state, params)
@@ -270,7 +269,6 @@ def train_dbdp(runner, key):
     def pair_at(stacked_params, kk):
         return jax.tree_util.tree_map(lambda a: a[kk], stacked_params)
 
-    @jax.jit
     def substep_k(k_rng, pair_prev, opt_state, pair_next, kk, is_last):
         xs, dWs = sample_paths(k_rng)
         x = xs[kk - 1]
@@ -287,8 +285,23 @@ def train_dbdp(runner, key):
         updates, opt_state = tx_opt.update(grads, opt_state, pair_prev)
         return optax.apply_updates(pair_prev, updates), opt_state, loss
 
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def substeps_k(kkk, pair_prev, opt_state, pair_next, kk, is_last):
+        """All num_sub_iter Adam steps at timestep kk in one dispatch;
+        per-sub-iter RNG fold_in(kkk, it) exactly as the unfused loop.
+        kk/is_last stay TRACED (dynamic gather) so the whole backward
+        sweep compiles once, not K times."""
+        def body(carry, it):
+            p, o = carry
+            p, o, loss = substep_k(jax.random.fold_in(kkk, it), p, o,
+                                   pair_next, kk, is_last)
+            return (p, o), loss
+
+        (pair_prev, opt_state), losses = jax.lax.scan(
+            body, (pair_prev, opt_state), jnp.arange(num_sub_iter))
+        return pair_prev, opt_state, losses[-1]
+
     # terminal pre-fit when not enforcing (solution.py:810-823)
-    @jax.jit
     def terminal_fit_step(k_rng, pair, opt_state):
         xs, _ = sample_paths(k_rng)
         x = xs[-1]
@@ -304,6 +317,19 @@ def train_dbdp(runner, key):
         updates, opt_state = tx_opt.update(grads, opt_state, pair)
         return optax.apply_updates(pair, updates), opt_state, loss
 
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def terminal_fit(kep, pair, opt_state):
+        def body(carry, it):
+            p, o = carry
+            p, o, loss = terminal_fit_step(jax.random.fold_in(kep, it), p, o)
+            return (p, o), loss
+
+        (pair, opt_state), losses = jax.lax.scan(
+            body, (pair, opt_state), jnp.arange(num_sub_iter))
+        return pair, opt_state, losses[-1]
+
+    eval_grid = _make_dbdp_eval(u_mod, ts_grid, K, eq)
+
     n_epochs = int(cfg.TRAIN.N_EPOCHS)
     step_counter = 0
     for epoch in range(n_epochs):
@@ -311,9 +337,7 @@ def train_dbdp(runner, key):
         if not enforce:
             pair = pair_at(stacked, K)
             opt_state = tx_opt.init(pair)
-            for it in range(num_sub_iter):
-                pair, opt_state, loss = terminal_fit_step(
-                    jax.random.fold_in(kep, it), pair, opt_state)
+            pair, opt_state, loss = terminal_fit(kep, pair, opt_state)
             stacked = jax.tree_util.tree_map(
                 lambda a, b: a.at[K].set(b), stacked, pair)
         for kk in range(K, 0, -1):
@@ -324,43 +348,46 @@ def train_dbdp(runner, key):
             pair_next = pair_at(stacked, kk)
             opt_state = tx_opt.init(pair_prev)
             kkk = jax.random.fold_in(kep, kk)
-            for it in range(num_sub_iter):
-                pair_prev, opt_state, loss = substep_k(
-                    jax.random.fold_in(kkk, it), pair_prev, opt_state,
-                    pair_next, kk, kk == K)
+            pair_prev, opt_state, loss = substeps_k(
+                kkk, pair_prev, opt_state, pair_next, jnp.asarray(kk),
+                jnp.asarray(kk == K))
             stacked = jax.tree_util.tree_map(
                 lambda a, b: a.at[kk - 1].set(b), stacked, pair_prev)
             step_counter += num_sub_iter
             runner.logger.log({"loss": float(loss), "k": kk, "epoch": epoch},
                               step_counter, context="dbdp")
             if eq.has_exact_solution:
-                em = _dbdp_eval(runner, stacked, u_mod, g_mod, ts_grid, K,
-                                eq, jax.random.fold_in(kkk, 777))
+                em = eval_grid(stacked, jax.random.fold_in(kkk, 777))
                 runner.logger.log(em, step_counter, context="eval")
     # persist the stacked nets
     ckpt.save_params(ckpt.ckpt_path(runner.exp_dir, runner.i), stacked)
     return stacked
 
 
-def _dbdp_eval(runner, stacked, u_mod, g_mod, ts_grid, K, eq, key):
-    """Value metrics across the time grid (solution.py:856-886)."""
-    import numpy as np
-
-    n = 100
-    preds, exacts = [], []
-    for kk in range(K + 1):
-        t_eval = jnp.full((n, 1), float(ts_grid[kk]))
-        x_eval = eq.sample_x(jax.random.fold_in(key, kk), t_eval)
-        params_k = jax.tree_util.tree_map(lambda a: a[kk], stacked)
-        u = eq.g(x_eval) + (eq.T - ts_grid[kk]) * u_mod.apply(params_k[0],
-                                                             x_eval)
-        preds.append(np.asarray(u))
-        exacts.append(np.asarray(eq.exact_solution(t_eval, x_eval)))
+def _make_dbdp_eval(u_mod, ts_grid, K, eq, n: int = 100):
+    """Value metrics across the whole time grid in ONE jitted dispatch
+    (the reference's per-timestep Python loop, solution.py:856-886, would
+    cost (K+1) round trips per eval through a remote TPU)."""
     from deeppicarditeration_tpu.evaluation.metrics import value_metrics
 
-    m = value_metrics(jnp.asarray(np.concatenate(preds)),
-                      jnp.asarray(np.concatenate(exacts)))
-    return {k: float(v) for k, v in m.items()}
+    @jax.jit
+    def eval_grid(stacked, key):
+        def per_k(params_k, t_k, k_rng):
+            t_eval = jnp.full((n, 1), t_k)
+            x_eval = eq.sample_x(k_rng, t_eval)
+            u = eq.g(x_eval) + (eq.T - t_k) * u_mod.apply(params_k[0],
+                                                          x_eval)
+            return u, eq.exact_solution(t_eval, x_eval)
+
+        keys = jax.vmap(lambda kk: jax.random.fold_in(key, kk))(
+            jnp.arange(K + 1))
+        us, exacts = jax.vmap(per_k)(stacked, ts_grid, keys)
+        return value_metrics(us.reshape(-1, 1), exacts.reshape(-1, 1))
+
+    def eval_host(stacked, key):
+        return {k: float(v) for k, v in eval_grid(stacked, key).items()}
+
+    return eval_host
 
 
 # ---------------------------------------------------------------------------
@@ -368,22 +395,40 @@ def _dbdp_eval(runner, stacked, u_mod, g_mod, ts_grid, K, eq, key):
 # ---------------------------------------------------------------------------
 
 def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
+    """Run ``step`` for n_epochs, fused into one jitted lax.scan dispatch
+    per log interval (epoch-by-epoch dispatch through a ~30 ms-latency
+    remote-TPU path would dominate the wall clock). The per-epoch RNG is
+    fold_in(key, epoch) exactly as the unfused loop produced, so loss
+    trajectories are bitwise independent of the chunking."""
     cfg, eq = runner.cfg, runner.equation
     log_interval = int(cfg.EVAL.FREQ or 100)
+
+    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0, 1))
+    def run_chunk(params, opt_state, e0, n):
+        def body(carry, e):
+            p, o = carry
+            p, o, loss = step(p, o, jax.random.fold_in(key, e))
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), e0 + jnp.arange(n))
+        return params, opt_state, losses[-1]
+
     loss = jnp.zeros(())
-    for epoch in range(n_epochs):
-        params, opt_state, loss = step(params, opt_state,
-                                       jax.random.fold_in(key, epoch))
-        if epoch % log_interval == 0:
-            runner.logger.log({"loss": float(loss), "epoch": epoch},
-                              epoch, context=tag)
-            if eq.has_exact_solution:
-                sol = Solution.from_net(runner.module, params,
-                                        runner.net_type, eq.nx)
-                em = eval_solution(jax.random.fold_in(key, 900 + epoch), sol,
-                                   eq, int(cfg.EVAL.L2_N_POINTS),
-                                   test_grad=bool(cfg.EVAL.TEST_GRAD))
-                runner.logger.log(em, epoch, context="eval")
+    for e0 in range(0, n_epochs, log_interval):
+        n = min(log_interval, n_epochs - e0)
+        params, opt_state, loss = run_chunk(params, opt_state,
+                                            jnp.asarray(e0), n)
+        epoch = e0 + n - 1
+        runner.logger.log({"loss": float(loss), "epoch": epoch},
+                          epoch, context=tag)
+        if eq.has_exact_solution:
+            sol = Solution.from_net(runner.module, params,
+                                    runner.net_type, eq.nx)
+            em = eval_solution(jax.random.fold_in(key, 900 + epoch), sol,
+                               eq, int(cfg.EVAL.L2_N_POINTS),
+                               test_grad=bool(cfg.EVAL.TEST_GRAD))
+            runner.logger.log(em, epoch, context="eval")
     ckpt.save_params(ckpt.ckpt_path(runner.exp_dir, runner.i), params)
     runner.u_current = Solution.from_net(runner.module, params,
                                          runner.net_type, eq.nx)
