@@ -144,6 +144,10 @@ def default_cfg() -> Config:
     c = Config()
     c.BASE = None
     c.FORCE = False
+    # Continue an interrupted run from its latest per-iteration checkpoint
+    # (improvement over the reference, which only has FORCE-or-fail,
+    # picard_iteration.py:124-141).
+    c.RESUME = False
     c.NAME = "exp"
     c.SEED = 0
 

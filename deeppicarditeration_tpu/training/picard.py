@@ -131,6 +131,8 @@ class PicardRunner:
                                    cfg.LOGGING.TENSORBOARD_DIR)
         self.global_step = 0
         self._jit_cache = {}
+        if cfg.RESUME:
+            self._maybe_resume()
 
     # ------------------------------------------------------------------
     def _prepare_exp_dir(self):
@@ -138,14 +140,46 @@ class PicardRunner:
         if self.exp_dir.exists() and any(self.exp_dir.iterdir()):
             contents = list(self.exp_dir.iterdir())
             if not (len(contents) == 1 and contents[0].name == cfg_file.name):
-                if not self.cfg.FORCE:
+                if self.cfg.RESUME:
+                    pass  # keep checkpoints; _maybe_resume picks up from them
+                elif not self.cfg.FORCE:
                     raise FileExistsError(
                         f"Experiment directory {self.exp_dir} already exists; "
                         "set FORCE: true to overwrite "
                         "(picard_iteration.py:124-141 semantics)")
-                shutil.rmtree(self.exp_dir)
+                else:
+                    shutil.rmtree(self.exp_dir)
         self.exp_dir.mkdir(parents=True, exist_ok=True)
         cfg_file.write_text(self.cfg.dump())
+
+    def _maybe_resume(self):
+        """Pick up from the latest model_{i} checkpoint in exp_dir.
+
+        Restores u_current (and u_history[-2] for the TwoLayer formula) so
+        that iteration i+1 generates targets from exactly the network a
+        continuous run would have used. The reference has no resume at all;
+        its granularity would anyway be the Picard iteration (survey §5.4)."""
+        latest = 0
+        while ckpt.ckpt_path(self.exp_dir, latest + 1).exists():
+            latest += 1
+        if latest == 0:
+            return
+        template = init_solution(jax.random.PRNGKey(0), self.cfg,
+                                 self.equation, module=self.module)
+
+        def load(i):
+            params = ckpt.load_params(ckpt.ckpt_path(self.exp_dir, i),
+                                      template.params)
+            return Solution.from_net(self.module, params, self.net_type,
+                                     self.equation.nx)
+
+        if latest >= 2 and self.cfg.PICARD.FORMULA == "TwoLayer":
+            self.u_history.append(load(latest - 1))
+        self.u_current = load(latest)
+        self.u_history.append(self.u_current)
+        self.i = latest
+        print(f"RESUME: continuing from iteration {latest} "
+              f"({self.exp_dir})")
 
     # ------------------------------------------------------------------
     @property
@@ -365,7 +399,7 @@ class PicardRunner:
         return True
 
     def run(self):
-        for _ in range(self.N):
+        while self.i < self.N:
             try:
                 if not self.run_one():
                     break

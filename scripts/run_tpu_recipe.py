@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--eval-points", type=int, default=1000)
     ap.add_argument("--eval-batch", type=int, default=500)
     ap.add_argument("--override", nargs="*", default=[])
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in exp dir")
     args = ap.parse_args()
 
     from deeppicarditeration_tpu.config import load_cfg
@@ -32,6 +34,8 @@ def main():
     from deeppicarditeration_tpu.training.picard import PicardRunner
 
     overrides = ["EVAL.FREQ", "None"]
+    if args.resume:
+        overrides += ["RESUME", "true"]
     if args.iters:
         overrides += ["PICARD.N", str(args.iters)]
     overrides += list(args.override)
@@ -43,11 +47,12 @@ def main():
 
     t_start = time.time()
     with open(out_path, "a") as f:
-        for i in range(int(cfg.PICARD.N)):
+        while runner.i < int(cfg.PICARD.N):
             t0 = time.time()
             runner.run_one()
             runner.u_history.append(runner.u_current)
-            m = eval_solution(jax.random.fold_in(key, i), runner.u_current,
+            m = eval_solution(jax.random.fold_in(key, runner.i - 1),
+                              runner.u_current,
                               runner.equation, args.eval_points,
                               test_grad=True, batch_size=args.eval_batch)
             rec = {"iter": runner.i, "wall_s": round(time.time() - t0, 2),
