@@ -30,6 +30,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.command == "train":
+        from deeppicarditeration_tpu.parallel import distributed
+
+        # multi-host first, before anything touches devices (§5.8); no-op
+        # unless the standard JAX_* coordinator env vars are set
+        distributed.initialize()
+
         from deeppicarditeration_tpu.config import load_cfg
         from deeppicarditeration_tpu.training.picard import PicardRunner
 

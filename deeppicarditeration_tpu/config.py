@@ -251,6 +251,10 @@ def default_cfg() -> Config:
     c.EVAL.BATCH_SIZE = None
     c.EVAL.TEST_GRAD = False
     c.EVAL.TEST_HESSIAN = False
+    # Per-iteration |u - u_exact| scatter plots during training (the
+    # reference only draws these post-hoc, evaluate.py:171-212).
+    c.EVAL.PLOT = False
+    c.EVAL.PLOT_N_POINTS = 2000
     return c
 
 

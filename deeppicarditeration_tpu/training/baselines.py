@@ -415,11 +415,13 @@ def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
         return params, opt_state, losses[-1]
 
     loss = jnp.zeros(())
+    runner.progress.start_iteration(runner.i, n_epochs)
     for e0 in range(0, n_epochs, log_interval):
         n = min(log_interval, n_epochs - e0)
         params, opt_state, loss = run_chunk(params, opt_state,
                                             jnp.asarray(e0), n)
         epoch = e0 + n - 1
+        runner.progress.update_train(e0 + n, float(loss))
         runner.logger.log({"loss": float(loss), "epoch": epoch},
                           epoch, context=tag)
         if eq.has_exact_solution:

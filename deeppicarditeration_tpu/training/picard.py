@@ -55,6 +55,7 @@ from deeppicarditeration_tpu.training.trainer import (
     make_optimizer,
 )
 from deeppicarditeration_tpu.utils.profiling import step_timer
+from deeppicarditeration_tpu.utils.progress import PicardProgress
 import optax
 
 
@@ -131,6 +132,7 @@ class PicardRunner:
                                    cfg.LOGGING.TENSORBOARD_DIR)
         self.global_step = 0
         self._jit_cache = {}
+        self.progress = PicardProgress(self.N, enabled=False)
         if cfg.RESUME:
             self._maybe_resume()
 
@@ -319,9 +321,12 @@ class PicardRunner:
                 state, metrics = run_epochs(state, ds.tx, ds.y,
                                             shuffle_keys, step_keys)
             self.global_step += n_epochs * steps
-            self.logger.log({**{k: float(v) for k, v in metrics.items()},
-                             "iter": self.i, "epoch": n_epochs - 1},
+            metrics = {k: float(v) for k, v in metrics.items()}
+            self.logger.log({**metrics, "iter": self.i,
+                             "epoch": n_epochs - 1},
                             self.global_step, context="train")
+            self.progress.update_train(n_epochs * steps,
+                                       metrics.get("loss"))
             return state
 
         run_steps = self._jitted("multi_step", self._make_multi_step)
@@ -341,9 +346,11 @@ class PicardRunner:
                     state, metrics = run_steps(state, txs[s0:s1], ys[s0:s1],
                                                keys[s0:s1])
                 self.global_step += s1 - s0
-                self.logger.log({**{k: float(v) for k, v in metrics.items()},
-                                 "iter": self.i, "epoch": epoch},
+                metrics = {k: float(v) for k, v in metrics.items()}
+                self.logger.log({**metrics, "iter": self.i, "epoch": epoch},
                                 self.global_step, context="train")
+                self.progress.update_train(epoch * steps + s1,
+                                           metrics.get("loss"))
                 if freq and self.equation.has_exact_solution:
                     sol = Solution.from_net(self.module, state.params,
                                             self.net_type, self.equation.nx)
@@ -387,6 +394,9 @@ class PicardRunner:
         with step_timer(f"generate[iter {self.i}]"):
             ds = self._make_dataset(jax.random.fold_in(key_iter, 1), gen,
                                     mode)
+        self.progress.start_iteration(
+            self.i, int(cfg.TRAIN.N_EPOCHS) * (ds.size
+                                               // int(cfg.TRAIN.BATCH_SIZE)))
 
         state = TrainState.create(params, self.tx_opt)
         state = jax.device_put(state, self.repl)
@@ -396,9 +406,28 @@ class PicardRunner:
         ckpt.save_params(ckpt.ckpt_path(self.exp_dir, self.i), state.params)
         self.u_current = Solution.from_net(self.module, state.params,
                                            self.net_type, self.equation.nx)
+        if cfg.EVAL.PLOT and self.equation.has_exact_solution:
+            self._plot_iteration_error(jax.random.fold_in(key_iter, 3))
         return True
 
+    def _plot_iteration_error(self, key):
+        """In-training |u - u_exact| scatter under the Picard t-law
+        (the reference draws these only post-hoc, evaluate.py:171-212)."""
+        from deeppicarditeration_tpu.evaluation.plots import plot_error
+        from deeppicarditeration_tpu.ops.samplers import sample_t_picard
+
+        eq, cfg = self.equation, self.cfg
+        n = int(cfg.EVAL.PLOT_N_POINTS)
+        t = sample_t_picard(jax.random.fold_in(key, 0), n, eq.T, self.N,
+                            self.i)
+        x = eq.sample_x(jax.random.fold_in(key, 1), t)
+        tx = jnp.concatenate([t, x], axis=-1)
+        err = jnp.abs(self.u_current.value(tx) - eq.exact_solution(t, x))
+        plot_error(self.exp_dir, t, x, err, f"iter_{self.i:03d}")
+
     def run(self):
+        self.progress = PicardProgress(self.N)
+        self.progress.update_completed(self.i)
         while self.i < self.N:
             try:
                 if not self.run_one():
@@ -408,5 +437,7 @@ class PicardRunner:
                       "(picard_iteration.py:290-294 semantics)")
                 break
             self.u_history.append(self.u_current)
+            self.progress.finish_iteration()
+        self.progress.close()
         self.logger.close()
         return self.u_current

@@ -1,0 +1,87 @@
+"""Progress UX, in-training error plots, and multi-host helper coverage."""
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeppicarditeration_tpu.parallel import distributed
+from deeppicarditeration_tpu.utils.progress import PicardProgress
+
+
+def test_progress_noop_when_disabled():
+    p = PicardProgress(10, enabled=False)
+    p.start_iteration(1, 100)
+    p.update_train(50, 1e-3)
+    p.finish_iteration(1e-3)
+    p.update_completed(3)
+    p.close()
+
+
+def test_progress_enabled_lifecycle(capsys):
+    p = PicardProgress(2, enabled=True)
+    try:
+        p.start_iteration(1, 4)
+        p.update_train(2, 3.14e-5)
+        p.finish_iteration()
+        p.update_completed(1)
+    finally:
+        p.close()
+
+
+def test_progress_env_gate(monkeypatch):
+    monkeypatch.setenv("DPI_PROGRESS", "0")
+    assert not PicardProgress(1).enabled
+    monkeypatch.setenv("DPI_PROGRESS", "1")
+    p = PicardProgress(1)
+    assert p.enabled
+    p.close()
+
+
+def test_plot_error_writes_png(tmp_path):
+    from deeppicarditeration_tpu.evaluation.plots import plot_error
+
+    t = jnp.linspace(0, 1, 50).reshape(-1, 1)
+    x = jnp.ones((50, 4))
+    err = jnp.abs(jnp.sin(t))
+    out = plot_error(tmp_path, t, x, err, "iter_001")
+    assert pathlib.Path(out).exists()
+    assert pathlib.Path(out).stat().st_size > 0
+
+
+def test_eval_plot_in_training(tmp_path):
+    """EVAL.PLOT: true produces one scatter PNG per Picard iteration."""
+    from deeppicarditeration_tpu.config import default_cfg
+    from deeppicarditeration_tpu.training.picard import PicardRunner
+
+    cfg = default_cfg()
+    cfg.NAME = "plot_test"
+    cfg.FORCE = True
+    cfg.EQUATION.cls = "Cha"
+    cfg.EQUATION.kwargs = {"nx": 2, "alpha": 1.0, "k": 1.0, "T": 1.0}
+    cfg.PICARD.N = 2
+    cfg.DATA.DATA_SIZE = 128
+    cfg.DATA.CHUNK_ELEMS = 2 ** 12
+    cfg.DATA.kwargs = {"t_always_uniform": True,
+                       "n_estimate_terminal": 16,
+                       "n_estimate_integral": 16}
+    cfg.TRAIN.BATCH_SIZE = 64
+    cfg.TRAIN.N_EPOCHS = 1
+    cfg.NETWORK.NEURONS = [8]
+    cfg.NETWORK.ACTIVATIONS = ["ELU"]
+    cfg.EVAL.FREQ = None
+    cfg.EVAL.PLOT = True
+    cfg.EVAL.PLOT_N_POINTS = 64
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    runner.run()
+    pngs = sorted(runner.exp_dir.glob("iter_*_error_distribution.png"))
+    assert len(pngs) == 2
+
+
+def test_distributed_noop_single_host(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert distributed.initialize() is False
+    assert distributed.is_primary()
+    assert jax.process_index() == 0
