@@ -179,7 +179,7 @@ def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
 
         return terminal_with_gradients_pallas(
             seed_from_key(key), eq, tx, gen.n_estimate_terminal,
-            tile_b=1024)
+            tile_b=1024, antithetic=gen.antithetic)
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_terminal

@@ -44,13 +44,15 @@ def test_uniform_from_bits_range():
     assert float(u.max()) <= 1.0
 
 
+@pytest.mark.parametrize("mblk", [1, 8, 64])
 @pytest.mark.parametrize("eq_factory", [
     lambda: QuadraticToy(nx=3),
     lambda: make_equation("Cha", nx=5, alpha=1.3, k=1.0, T=1.0),
 ])
-def test_pallas_terminal_exact_vs_reference(eq_factory, key):
+def test_pallas_terminal_exact_vs_reference(eq_factory, mblk, key):
     """Same noise through the kernel and the jnp reference: must agree to
-    float tolerance (validates the masked lane padding too)."""
+    float tolerance for every inner block size (validates the masked lane
+    padding and the multi-sample block reduction)."""
     eq = eq_factory()
     nx, b, m = eq.nx, 16, 64
     kt, kx, kn = jax.random.split(key, 3)
@@ -58,8 +60,28 @@ def test_pallas_terminal_exact_vs_reference(eq_factory, key):
     x = jax.random.normal(kx, (b, nx))
     tx = jnp.concatenate([t, x], axis=-1)
     noise = jax.random.normal(kn, (b, m, nx))
-    out = terminal_with_gradients_pallas(0, eq, tx, m, tile_b=8, noise=noise)
+    out = terminal_with_gradients_pallas(0, eq, tx, m, tile_b=8, mblk=mblk,
+                                         noise=noise)
     ref = _reference_terminal(eq, tx, noise)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_pallas_terminal_antithetic_vs_reference(key):
+    """Antithetic half-block mirroring == reference on [h, -h] noise."""
+    eq = make_equation("Cha", nx=5, alpha=1.3, k=1.0, T=1.0)
+    nx, b, m = eq.nx, 16, 64
+    kt, kx, kn = jax.random.split(key, 3)
+    t = jax.random.uniform(kt, (b, 1)) * 0.8
+    x = jax.random.normal(kx, (b, nx))
+    tx = jnp.concatenate([t, x], axis=-1)
+    half = jax.random.normal(kn, (b, m // 2, nx))
+    out = terminal_with_gradients_pallas(0, eq, tx, m, tile_b=8, mblk=8,
+                                         antithetic=True, noise=half)
+    # kernel mirrors per inner block: [h0, -h0, h1, -h1, ...]
+    blocks = half.reshape(b, m // 8, 4, nx)
+    mirrored = jnp.concatenate([blocks, -blocks], axis=2).reshape(b, m, nx)
+    ref = _reference_terminal(eq, tx, mirrored)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=2e-5)
 
