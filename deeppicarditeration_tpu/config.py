@@ -226,6 +226,13 @@ def default_cfg() -> Config:
     # OOM-probing GPUMemoryTracker, memory.py:117-208 -- static shapes
     # make ahead-of-time sizing exact).
     c.DATA.CHUNK_ELEMS = 2 ** 22  # target batch*m_chunk elements per scan step
+    # TPU estimator-kernel switches (GenConfig flags; see ops/estimators.py
+    # and ops/pallas_kernels.py; defaults reflect measured v5e A/Bs)
+    c.DATA.TPU = Config()
+    c.DATA.TPU.ANTITHETIC = False  # +/- dW pairs: half the draws
+    c.DATA.TPU.PRNG = False  # hardware-PRNG normals kernel (off: threefry)
+    c.DATA.TPU.PALLAS_TERMINAL = False  # fused VMEM terminal estimator
+    c.DATA.TPU.PALLAS_INTEGRAL = False  # fused VMEM integral estimator
 
     c.MESH = Config()
     c.MESH.AXES = ["data"]

@@ -55,6 +55,7 @@ class GenConfig:
     tpu_prng: bool = False  # hardware-PRNG increments (Pallas kernel)
     antithetic: bool = False  # +/- dW pairs: half the draws, lower variance
     pallas_terminal: bool = False  # fused VMEM terminal estimator kernel
+    pallas_integral: bool = False  # fused VMEM integral estimator kernel
 
     def chunk(self, m: int, batch: int, nx: int) -> int:
         """Largest divisor of m with batch * chunk * nx <= chunk_elems
@@ -233,6 +234,16 @@ def _baseline_f_at_indices(eq, sol: Solution, t, x, d0, idx):
 def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
                                      gen: GenConfig):
     """E[(T-t)(f - f0)(1, Ys)] + (f0 (T-t), 0); (B, 1 + nx)."""
+    if (gen.pallas_integral and eq.has_gradient_term
+            and not eq.has_hessian_term and not eq.has_laplacian_term):
+        from deeppicarditeration_tpu.ops.pallas_kernels import (
+            integral_with_gradients_pallas,
+            seed_from_key,
+        )
+
+        return integral_with_gradients_pallas(
+            seed_from_key(key, 1), eq, sol, tx, gen.n_estimate_integral,
+            antithetic=gen.antithetic)
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_integral

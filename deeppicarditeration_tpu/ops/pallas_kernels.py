@@ -111,6 +111,207 @@ def tpu_normals(seed, shape, dtype=jnp.float32, row_block: int = 4096,
     return flat.reshape(-1)[:n].reshape(shape)
 
 
+def _uniform(shape):
+    """In-kernel uniforms in (0, 1]."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return _uniform_from_bits(bits)
+
+
+def _flatten_captured(tree):
+    """Pytree -> (2D-normalized array leaves, original shapes, treedef).
+
+    Pallas kernels may not close over array constants ("captures constants"
+    error) — equation parameters (e.g. the HJB GMM) and frozen-net weights
+    are flattened here and passed as whole-array VMEM inputs instead.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrs, shapes = [], []
+    for leaf in leaves:
+        a = jnp.asarray(leaf)
+        shapes.append(a.shape)
+        arrs.append(a.reshape((1, -1)) if a.ndim < 2 else a)
+    return arrs, shapes, treedef
+
+
+def _unflatten_captured(refs, shapes, treedef):
+    leaves = [r[:].reshape(s) for r, s in zip(refs, shapes)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _captured_specs(arrs):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in arrs]
+
+
+def _integral_kernel(seed_ref, t_ref, x_ref, f0_ref, *rest, f_of: Callable,
+                     n_captured: int, captured_shapes, captured_treedef,
+                     alpha_sqrt: float, T: float, m: int, nx: int,
+                     nx_pad: int, mblk: int, antithetic: bool,
+                     st_floor: float, external_noise: bool):
+    """One grid tile of the fused integral CV estimator.
+
+    Per inner block of ``mblk`` samples (all in VMEM):
+      s ~ U[t, T]  ->  X_s = x + sqrt(s-t) sqrt(a) dW  (hardware PRNG)
+      f = f_of(s, X_s)   # frozen-net forward + batched vjp, traced into
+                         # the kernel (MXU matmuls); any jnp net works
+      acc += (T-t) (f - f0) * (1, dW / sqrt(s-t) / sqrt(a))
+
+    This removes the HBM round trips between the XLA chunk fusions and the
+    threefry bit generation from the hot path (data.py:471-527 math).
+    ``antithetic`` shares s within +/- increment pairs, as the XLA path.
+    """
+    captured = _unflatten_captured(rest[:n_captured], captured_shapes,
+                                   captured_treedef)
+    rest = rest[n_captured:]
+    if external_noise:
+        u01_ref, noise_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
+    i = pl.program_id(0)
+    if not external_noise:
+        pltpu.prng_seed(seed_ref[0] + i)
+    t = t_ref[:]  # (tile_b, 1)
+    x = x_ref[:]  # (tile_b, nx_pad); pad columns zero
+    f0 = f0_ref[:]  # (tile_b, 1)
+    Tt = T - t
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    mask = (col < nx).astype(x.dtype)[:, None, :]
+    tile_b = x.shape[0]
+    half = mblk // 2
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(k, _):
+        if external_noise:
+            if antithetic:
+                uh = u01_ref[:, pl.ds(k * half, half), :]
+                u01 = jnp.concatenate([uh, uh], axis=1)
+                h = noise_ref[:, pl.ds(k * half, half), :]
+                dW = jnp.concatenate([h, -h], axis=1) * mask
+            else:
+                u01 = u01_ref[:, pl.ds(k * mblk, mblk), :]
+                dW = noise_ref[:, pl.ds(k * mblk, mblk), :] * mask
+        else:
+            # one (tile_b, LANE) uniform draw covers the mblk s-samples
+            # (1/mblk of the dW draw cost); antithetic pairs share s
+            u_row = _uniform((tile_b, LANE))
+            if antithetic:
+                uh = u_row[:, :half, None]
+                u01 = jnp.concatenate([uh, uh], axis=1)
+                h = _normals((tile_b, half, nx_pad))
+                dW = jnp.concatenate([h, -h], axis=1) * mask
+            else:
+                u01 = u_row[:, :mblk, None]
+                dW = _normals((tile_b, mblk, nx_pad)) * mask
+        s = t[:, None, :] + u01 * Tt[:, None, :]  # (tile_b, mblk, 1)
+        st = s - t[:, None, :]
+        xs = x[:, None, :] + jnp.sqrt(st) * alpha_sqrt * dW
+        R = tile_b * mblk
+        f = f_of(captured, s.reshape(R, 1), xs.reshape(R, nx_pad)[:, :nx])
+        diff = Tt[:, None, :] * (f.reshape(tile_b, mblk, 1) - f0[:, None, :])
+        inv_y = 1.0 / (jnp.sqrt(jnp.maximum(st, st_floor)) * alpha_sqrt)
+        acc_ref[:, 0:1] += jnp.sum(diff, axis=1)
+        acc_ref[:, 1:] += jnp.sum(diff * inv_y * dW, axis=1)
+        return ()
+
+    jax.lax.fori_loop(0, m // mblk, body, ())
+    out = acc_ref[:] / m
+    out_ref[:, 0:1] = out[:, 0:1] + f0 * Tt
+    out_ref[:, 1:] = out[:, 1:]
+
+
+def integral_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
+                                   m: int, tile_b: int = 128, mblk: int = 8,
+                                   antithetic: bool = False,
+                                   f0: jnp.ndarray | None = None,
+                                   u01: jnp.ndarray | None = None,
+                                   noise: jnp.ndarray | None = None,
+                                   interpret: bool | None = None):
+    """Pallas drop-in for estimate_integral_with_gradients (the standard
+    gradient-term path: no Hessian/SDGD, no TD horizon — those fall back
+    to the XLA scan).
+
+    The frozen solution's forward + gradient (get_f) is traced INTO the
+    kernel body, so the net matmuls run on the MXU from VMEM-resident
+    weights with no HBM intermediates between samples.
+
+    ``u01``/``noise`` (B, m[, /2 when antithetic], 1/nx) switch to external
+    randomness — the CPU-exactness path (TPU interpreter stubs the PRNG).
+    """
+    from deeppicarditeration_tpu.ops.derivatives import get_f
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t, x = tx[:, :1], tx[:, 1:]
+    b, nx = x.shape
+    nx_pad = _round_up(nx, LANE)
+    tile = min(tile_b, b)
+    while b % tile:
+        tile -= 1
+    step = 2 if antithetic else 1
+    mblk = min(mblk, m)
+    while m % mblk or mblk % step:
+        mblk -= 1
+    x_pad = jnp.pad(x, ((0, 0), (0, nx_pad - nx)))
+    if f0 is None:
+        f0 = get_f(eq, sol, t, x)
+
+    # Array-valued equation params (HJB GMM) and frozen-net weights must be
+    # kernel INPUTS, not closure constants; statics (module, nx, flags)
+    # ride through the treedef / the Solution constructor fields.
+    cap_arrs, cap_shapes, cap_treedef = _flatten_captured((eq, sol.params))
+    sol_statics = dict(module=sol.module, kind=sol.kind,
+                       net_type=sol.net_type, nx=sol.nx, gfn=sol.gfn)
+
+    def f_of(captured, s2, xs2):
+        eq_in, params_in = captured
+        from deeppicarditeration_tpu.models.solution import Solution
+
+        sol_in = Solution(params=params_in, **sol_statics)
+        return get_f(eq_in, sol_in, s2, xs2)
+
+    external = noise is not None
+    from deeppicarditeration_tpu.ops.estimators import _ST_FLOOR
+
+    kernel = functools.partial(
+        _integral_kernel, f_of=f_of, n_captured=len(cap_arrs),
+        captured_shapes=cap_shapes, captured_treedef=cap_treedef,
+        alpha_sqrt=float(eq.alpha_sqrt),
+        T=float(eq.T), m=m, nx=nx, nx_pad=nx_pad, mblk=mblk,
+        antithetic=antithetic, st_floor=_ST_FLOOR,
+        external_noise=external)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, nx_pad), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + _captured_specs(cap_arrs)
+    args = [seed_arr, t, x_pad, f0] + cap_arrs
+    if external:
+        m_draw = m // 2 if antithetic else m
+        assert noise.shape == (b, m_draw, nx)
+        assert u01 is not None and u01.shape == (b, m_draw, 1)
+        noise_pad = jnp.pad(noise, ((0, 0), (0, 0), (0, nx_pad - nx)))
+        in_specs.append(pl.BlockSpec((tile, m_draw, 1), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((tile, m_draw, nx_pad),
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args += [u01, noise_pad]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, 1 + nx_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1 + nx_pad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile, 1 + nx_pad), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return out[:, :1 + nx]
+
+
 def seed_from_key(key, salt: int = 0):
     """Derive an int32 scalar seed from a jax PRNG key (for tpu_normals)."""
     data = jax.random.key_data(key).astype(jnp.uint32)
@@ -119,6 +320,7 @@ def seed_from_key(key, salt: int = 0):
 
 
 def _terminal_kernel(seed_ref, t_ref, x_ref, g0_ref, *rest, g_fn: Callable,
+                     n_captured: int, captured_shapes, captured_treedef,
                      alpha_sqrt: float, T: float, m: int, nx: int,
                      nx_pad: int, mblk: int, antithetic: bool,
                      external_noise: bool):
@@ -134,6 +336,9 @@ def _terminal_kernel(seed_ref, t_ref, x_ref, g0_ref, *rest, g_fn: Callable,
     ``external_noise=True`` reads pre-generated standard normals from an
     extra input ref (CPU interpreter path: the TPU interpreter stubs
     prng_random_bits); on TPU the kernel generates them in VMEM."""
+    captured = _unflatten_captured(rest[:n_captured], captured_shapes,
+                                   captured_treedef)
+    rest = rest[n_captured:]
     if external_noise:
         noise_ref, out_ref, acc_ref = rest
     else:
@@ -167,7 +372,7 @@ def _terminal_kernel(seed_ref, t_ref, x_ref, g0_ref, *rest, g_fn: Callable,
             else:
                 dW = _normals((tile_b, mblk, nx_pad)) * mask
         xT = x[:, None, :] + sqrt_tt[:, None, :] * alpha_sqrt * dW
-        gT = g_fn(xT)  # (tile_b, mblk, 1); pad cols are zero => g sees nx
+        gT = g_fn(captured, xT)  # (tile_b, mblk, 1); pad cols zero
         diff = gT - g0[:, None, :]
         acc_ref[:, 0:1] += jnp.sum(diff, axis=1)
         acc_ref[:, 1:] += jnp.sum(diff * dW, axis=1) * inv_y
@@ -212,13 +417,16 @@ def terminal_with_gradients_pallas(seed: int, eq, tx: jnp.ndarray, m: int,
         mblk -= 1
     x_pad = jnp.pad(x, ((0, 0), (0, nx_pad - nx)))
     g0 = eq.g(x)
+    cap_arrs, cap_shapes, cap_treedef = _flatten_captured(eq)
 
-    def g_fn(x_padded):
-        return eq.g(x_padded[..., :nx])
+    def g_fn(eq_in, x_padded):
+        return eq_in.g(x_padded[..., :nx])
 
     external = noise is not None
     kernel = functools.partial(
-        _terminal_kernel, g_fn=g_fn, alpha_sqrt=float(eq.alpha_sqrt),
+        _terminal_kernel, g_fn=g_fn, n_captured=len(cap_arrs),
+        captured_shapes=cap_shapes, captured_treedef=cap_treedef,
+        alpha_sqrt=float(eq.alpha_sqrt),
         T=float(eq.T), m=m, nx=nx, nx_pad=nx_pad, mblk=mblk,
         antithetic=antithetic, external_noise=external)
     seed_arr = jnp.asarray([seed], jnp.int32)
@@ -228,8 +436,8 @@ def terminal_with_gradients_pallas(seed: int, eq, tx: jnp.ndarray, m: int,
         pl.BlockSpec((tile, nx_pad), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ]
-    args = [seed_arr, t, x_pad, g0]
+    ] + _captured_specs(cap_arrs)
+    args = [seed_arr, t, x_pad, g0] + cap_arrs
     if external:
         m_draw = m // 2 if antithetic else m
         assert noise.shape == (b, m_draw, nx)

@@ -82,6 +82,10 @@ def gen_config_from_cfg(cfg, i: int) -> GenConfig:
                       if d.SAMPLE_BOUND is not None else None),
         sdgd_v=sdgd_v,
         estimate_delta_t=float(d.ESTIMATE_DELTA_T),
+        tpu_prng=bool(d.TPU.PRNG),
+        antithetic=bool(d.TPU.ANTITHETIC),
+        pallas_terminal=bool(d.TPU.PALLAS_TERMINAL),
+        pallas_integral=bool(d.TPU.PALLAS_INTEGRAL),
     )
 
 

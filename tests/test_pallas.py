@@ -13,8 +13,13 @@ import numpy as np
 import pytest
 
 from deeppicarditeration_tpu.equations import make_equation
+from deeppicarditeration_tpu.models.networks import MLP
+from deeppicarditeration_tpu.models.solution import Solution
+from deeppicarditeration_tpu.ops.derivatives import get_f
+from deeppicarditeration_tpu.ops.estimators import _ST_FLOOR
 from deeppicarditeration_tpu.ops.pallas_kernels import (
     _uniform_from_bits,
+    integral_with_gradients_pallas,
     terminal_with_gradients_pallas,
 )
 from tests.test_estimators import QuadraticToy
@@ -48,6 +53,9 @@ def test_uniform_from_bits_range():
 @pytest.mark.parametrize("eq_factory", [
     lambda: QuadraticToy(nx=3),
     lambda: make_equation("Cha", nx=5, alpha=1.3, k=1.0, T=1.0),
+    # OU carries array leaves (the GMM): exercises the captured-input path
+    lambda: make_equation("OUProcessEquation", seed=0, nx=4, alpha=1.0,
+                          T=1.0),
 ])
 def test_pallas_terminal_exact_vs_reference(eq_factory, mblk, key):
     """Same noise through the kernel and the jnp reference: must agree to
@@ -84,6 +92,98 @@ def test_pallas_terminal_antithetic_vs_reference(key):
     ref = _reference_terminal(eq, tx, mirrored)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=2e-5)
+
+
+def _reference_integral(eq, sol, tx, u01, noise):
+    """Plain jnp integral CV estimator with given (u01, noise)."""
+    t, x = tx[:, :1], tx[:, 1:]
+    Tt = eq.T - t
+    s = t[:, None, :] + u01 * Tt[:, None, :]
+    st = s - t[:, None, :]
+    Xs = x[:, None, :] + jnp.sqrt(st) * eq.alpha_sqrt * noise
+    f = get_f(eq, sol, s, Xs)
+    f0 = get_f(eq, sol, t, x)
+    diff = Tt[:, None, :] * (f - f0[:, None, :])
+    val = jnp.mean(diff, axis=1) + f0 * Tt
+    inv_y = 1.0 / (jnp.sqrt(jnp.maximum(st, _ST_FLOOR)) * eq.alpha_sqrt)
+    grad = jnp.mean(diff * inv_y * noise, axis=1)
+    return jnp.concatenate([val, grad], axis=-1)
+
+
+def _frozen_mlp_solution(key, nx, net_type="Value"):
+    out_dim = {"Value": 1, "ValueGradient": 1 + nx}[net_type]
+    module = MLP(neurons=(16, 16), activations=("ELU", "ELU"),
+                 out_dim=out_dim)
+    params = module.init(key, jnp.zeros((1, 1 + nx)))
+    return Solution.from_net(module, params, net_type, nx)
+
+
+@pytest.mark.parametrize("mblk", [1, 8])
+@pytest.mark.parametrize("net_type", ["Value", "ValueGradient"])
+@pytest.mark.parametrize("eq_name", ["Cha", "OUProcessEquation"])
+def test_pallas_integral_exact_vs_reference(eq_name, net_type, mblk, key):
+    """Same (u01, noise) through the fused kernel (frozen-net vjp traced
+    in-kernel) and the plain jnp estimator: exact to float tolerance."""
+    if eq_name == "Cha":
+        eq = make_equation("Cha", nx=5, alpha=1.3, k=1.0, T=1.0)
+    else:
+        eq = make_equation("OUProcessEquation", seed=0, nx=5, alpha=1.0,
+                           T=1.0)
+    nx, b, m = eq.nx, 16, 32
+    kt, kx, kn, ku, kp = jax.random.split(key, 5)
+    sol = _frozen_mlp_solution(kp, nx, net_type)
+    t = jax.random.uniform(kt, (b, 1)) * 0.8
+    x = jax.random.normal(kx, (b, nx))
+    tx = jnp.concatenate([t, x], axis=-1)
+    u01 = jax.random.uniform(ku, (b, m, 1))
+    noise = jax.random.normal(kn, (b, m, nx))
+    out = integral_with_gradients_pallas(0, eq, sol, tx, m, tile_b=8,
+                                         mblk=mblk, u01=u01, noise=noise)
+    ref = _reference_integral(eq, sol, tx, u01, noise)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5,
+                               atol=3e-5)
+
+
+def test_pallas_integral_antithetic_vs_reference(key):
+    eq = make_equation("Cha", nx=5, alpha=1.3, k=1.0, T=1.0)
+    nx, b, m, mblk = eq.nx, 8, 32, 8
+    kt, kx, kn, ku, kp = jax.random.split(key, 5)
+    sol = _frozen_mlp_solution(kp, nx)
+    t = jax.random.uniform(kt, (b, 1)) * 0.8
+    x = jax.random.normal(kx, (b, nx))
+    tx = jnp.concatenate([t, x], axis=-1)
+    u01_h = jax.random.uniform(ku, (b, m // 2, 1))
+    half = jax.random.normal(kn, (b, m // 2, nx))
+    out = integral_with_gradients_pallas(0, eq, sol, tx, m, tile_b=8,
+                                         mblk=mblk, antithetic=True,
+                                         u01=u01_h, noise=half)
+    # kernel expands per inner block: s shared, dW mirrored
+    hb = half.reshape(b, m // mblk, mblk // 2, nx)
+    noise_full = jnp.concatenate([hb, -hb], axis=2).reshape(b, m, nx)
+    ub = u01_h.reshape(b, m // mblk, mblk // 2, 1)
+    u01_full = jnp.concatenate([ub, ub], axis=2).reshape(b, m, 1)
+    ref = _reference_integral(eq, sol, tx, u01_full, noise_full)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5,
+                               atol=3e-5)
+
+
+def test_pallas_integral_zero_solution(key):
+    """u_0 = 0 frozen iterate (first Picard iteration) goes through the
+    kernel's get_f tracing too."""
+    eq = make_equation("Cha", nx=5, alpha=1.3, k=1.0, T=1.0)
+    nx, b, m = eq.nx, 8, 16
+    kt, kx, kn, ku = jax.random.split(key, 4)
+    sol = Solution.zero(nx, "Value")
+    t = jax.random.uniform(kt, (b, 1)) * 0.8
+    x = jax.random.normal(kx, (b, nx))
+    tx = jnp.concatenate([t, x], axis=-1)
+    u01 = jax.random.uniform(ku, (b, m, 1))
+    noise = jax.random.normal(kn, (b, m, nx))
+    out = integral_with_gradients_pallas(0, eq, sol, tx, m, tile_b=8,
+                                         mblk=8, u01=u01, noise=noise)
+    ref = _reference_integral(eq, sol, tx, u01, noise)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5,
+                               atol=3e-5)
 
 
 @pytest.mark.skipif(not ON_TPU, reason="in-kernel PRNG requires real TPU")
