@@ -216,6 +216,20 @@ class PicardRunner:
         if not cfg.DATA.ONLINE:
             return load_dataset(cfg.DATA.TRAIN_FILE)
         n_total = int(cfg.DATA.DATA_SIZE)
+        if cfg.RESUME and cfg.DATA.SAVE:
+            # mid-iteration resume: a run killed AFTER generating iteration
+            # i's dataset but BEFORE its checkpoint replays the saved data
+            # instead of regenerating (beyond reference, survey §5.4: "no
+            # mid-iteration resume")
+            saved = self.exp_dir / f"data_iter_{self.i}.npz"
+            if saved.exists():
+                ds = load_dataset(saved)
+                if ds.size == n_total:
+                    ds = DeviceDataset(
+                        tx=jax.device_put(ds.tx, self.sharding),
+                        y=jax.device_put(ds.y, self.sharding))
+                    print(f"RESUME: replaying saved dataset {saved.name}")
+                    return ds
         sol_m2 = self.u_history[-2] if mode == "two_layer" else None
 
         def builder():

@@ -72,6 +72,53 @@ def test_resume_bitwise_matches_uninterrupted(tmp_path):
             np.testing.assert_array_equal(la, lc)
 
 
+def test_mid_iteration_resume_replays_saved_dataset(tmp_path, capsys):
+    """Killed after generating iteration 2's dataset but before its
+    checkpoint: resume replays data_iter_2.npz (no regeneration) and ends
+    bitwise-identical to the uninterrupted run."""
+    full_dir, int_dir = tmp_path / "full", tmp_path / "interrupted"
+
+    cfg = _cfg(2)
+    cfg.DATA.SAVE = True
+    runner_a = PicardRunner(cfg, exp_root=full_dir)
+    runner_a.run()
+
+    cfg = _cfg(2)
+    cfg.DATA.SAVE = True
+    runner_b = PicardRunner(cfg, exp_root=int_dir)
+    runner_b.run_one()  # iteration 1 complete
+    # fabricate the mid-iteration-2 kill: dataset written, no checkpoint
+    gen = __import__(
+        "deeppicarditeration_tpu.training.picard",
+        fromlist=["gen_config_from_cfg"]).gen_config_from_cfg(cfg, 2)
+    runner_b.i = 2
+    import jax as _jax
+    ds = runner_b._make_dataset(
+        _jax.random.fold_in(_jax.random.fold_in(runner_b.root_key, 2), 1),
+        gen, runner_b.generation_mode)
+    assert (runner_b.exp_dir / "data_iter_2.npz").exists()
+    del runner_b, ds
+
+    cfg_resume = _cfg(2)
+    cfg_resume.DATA.SAVE = True
+    cfg_resume.FORCE = False
+    cfg_resume.RESUME = True
+    runner_c = PicardRunner(cfg_resume, exp_root=int_dir)
+    assert runner_c.i == 1
+    capsys.readouterr()
+    runner_c.run()
+    assert "replaying saved dataset data_iter_2.npz" in capsys.readouterr().out
+
+    template = init_solution(jax.random.PRNGKey(0), runner_a.cfg,
+                             runner_a.equation, module=runner_a.module)
+    pa = ckpt.load_params(ckpt.ckpt_path(runner_a.exp_dir, 2),
+                          template.params)
+    pc = ckpt.load_params(ckpt.ckpt_path(runner_c.exp_dir, 2),
+                          template.params)
+    for la, lc in zip(_leaves(pa), _leaves(pc)):
+        np.testing.assert_array_equal(la, lc)
+
+
 def test_resume_noop_on_fresh_dir(tmp_path):
     cfg = _cfg(1)
     cfg.RESUME = True
