@@ -9,9 +9,19 @@ package is available.
 from __future__ import annotations
 
 import json
+import math
 import pathlib
 import time
 from typing import Dict, Optional
+
+
+def _jsonable(v):
+    """Floats pass through; non-finite become None (strict-JSON safe —
+    MArE = mean|err/u| is legitimately inf when u ~ 0 at a sample)."""
+    if hasattr(v, "__float__"):
+        f = float(v)
+        return f if math.isfinite(f) else None
+    return v
 
 
 class MetricLogger:
@@ -32,8 +42,7 @@ class MetricLogger:
 
     def log(self, metrics: Dict, step: int, context: str = "train") -> None:
         rec = {"step": step, "context": context, "time": time.time()}
-        rec.update({k: (float(v) if hasattr(v, "__float__") else v)
-                    for k, v in metrics.items()})
+        rec.update({k: _jsonable(v) for k, v in metrics.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
         if self._tb is not None:
