@@ -262,6 +262,10 @@ def default_cfg() -> Config:
     # reference only draws these post-hoc, evaluate.py:171-212).
     c.EVAL.PLOT = False
     c.EVAL.PLOT_N_POINTS = 2000
+    # Precomputed reference-solution file for equations without a closed
+    # form (EvalCallback fallback, utils.py:343-353): npy columns
+    # [t, x(nx), u[, u_x(nx)]] or npz with tx/u[/ux].
+    c.EVAL.REFERENCE_FILE = None
     return c
 
 

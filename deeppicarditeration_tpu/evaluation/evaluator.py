@@ -70,6 +70,43 @@ def eval_solution(key, sol: Solution, eq, n_points: int,
     return {k: float(v) for k, v in metrics.items()}
 
 
+def eval_solution_against_file(sol: Solution, path, nx: int,
+                               batch_size: Optional[int] = None
+                               ) -> Dict[str, float]:
+    """Metrics of sol vs a precomputed reference-solution file.
+
+    Reference parity: the EvalCallback fallback for equations without a
+    closed form, which loads ``../../data/{Eq}_nx=..._N=7_100.npy``
+    (utils.py:343-353). Accepted layouts (npy or npz with keys tx/u[/ux]):
+    columns [t, x(nx), u] or [t, x(nx), u, u_x(nx)].
+    """
+    import numpy as np
+
+    z = np.load(path)
+    if hasattr(z, "files"):  # npz
+        tx = jnp.asarray(z["tx"])
+        u_ref = jnp.asarray(z["u"]).reshape(tx.shape[0], 1)
+        ux_ref = jnp.asarray(z["ux"]) if "ux" in z.files else None
+    else:
+        data = jnp.asarray(z)
+        tx = data[:, :1 + nx]
+        u_ref = data[:, 1 + nx:2 + nx]
+        ux_ref = data[:, 2 + nx:] if data.shape[1] > 2 + nx else None
+    n = tx.shape[0]
+    bs = batch_size or n
+    preds, gpreds = [], []
+    for i in range(0, n, bs):
+        txb = tx[i:i + bs]
+        u_pred, g_tx = sol.value_and_grad_tx(txb)
+        preds.append(u_pred)
+        gpreds.append(g_tx[:, 1:])
+    metrics = value_metrics(jnp.concatenate(preds), u_ref)
+    if ux_ref is not None and ux_ref.shape[-1] == nx:
+        metrics.update(grad_metrics(jnp.concatenate(gpreds), ux_ref,
+                                    prefix="g"))
+    return {k: float(v) for k, v in metrics.items()}
+
+
 def monte_carlo_at(key, eq, sol: Solution, gen: est.GenConfig,
                    x: jnp.ndarray, t: Optional[jnp.ndarray] = None):
     """Fresh Picard MC estimate of u(t, x) from sol (evaluate.py:58-82)."""

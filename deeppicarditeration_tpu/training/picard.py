@@ -380,6 +380,18 @@ class PicardRunner:
                         batch_size=cfg.EVAL.BATCH_SIZE)
                     em["iter"] = self.i
                     self.logger.log(em, self.global_step, context="eval")
+                elif freq and cfg.EVAL.REFERENCE_FILE:
+                    from deeppicarditeration_tpu.evaluation.evaluator import (
+                        eval_solution_against_file,
+                    )
+
+                    sol = Solution.from_net(self.module, state.params,
+                                            self.net_type, self.equation.nx)
+                    em = eval_solution_against_file(
+                        sol, cfg.EVAL.REFERENCE_FILE, self.equation.nx,
+                        batch_size=cfg.EVAL.BATCH_SIZE)
+                    em["iter"] = self.i
+                    self.logger.log(em, self.global_step, context="eval")
         return state
 
     # ------------------------------------------------------------------

@@ -79,6 +79,38 @@ def test_eval_plot_in_training(tmp_path):
     assert len(pngs) == 2
 
 
+def test_eval_against_reference_file(tmp_path):
+    """EVAL.REFERENCE_FILE fallback: oracle-free eval against a data file
+    (utils.py:343-353 parity). The file is built FROM the exact solution,
+    so evaluating the oracle solution against it gives ~zero error."""
+    from deeppicarditeration_tpu.equations import make_equation
+    from deeppicarditeration_tpu.evaluation.evaluator import (
+        eval_solution_against_file,
+    )
+    from deeppicarditeration_tpu.models.solution import Solution
+
+    eq = make_equation("Cha", nx=3, alpha=1.0, k=1.0, T=1.0)
+    key = jax.random.PRNGKey(0)
+    t = jnp.linspace(0.0, eq.T, 64)[:, None]
+    x = eq.sample_x(key, t)
+    u = eq.exact_solution(t, x)
+    ux = eq.u_x(t, x)
+
+    npy = tmp_path / "ref.npy"
+    np.save(npy, np.concatenate([np.asarray(t), np.asarray(x),
+                                 np.asarray(u), np.asarray(ux)], axis=1))
+    sol = Solution.oracle(eq)
+    m = eval_solution_against_file(sol, npy, eq.nx, batch_size=32)
+    assert m["rRMSE"] < 1e-5
+    assert m["rRMSEg"] < 1e-5
+
+    npz = tmp_path / "ref.npz"
+    np.savez(npz, tx=np.concatenate([np.asarray(t), np.asarray(x)], axis=1),
+             u=np.asarray(u), ux=np.asarray(ux))
+    m2 = eval_solution_against_file(sol, npz, eq.nx)
+    assert m2["rRMSE"] < 1e-5
+
+
 def test_distributed_noop_single_host(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
