@@ -24,6 +24,8 @@ def main(argv=None):
     p_eval = sub.add_parser("evaluate", help="evaluate an experiment dir")
     p_eval.add_argument("exp_dir")
     p_eval.add_argument("--do-l2", action="store_true")
+    p_eval.add_argument("--sol-file", default=None,
+                        help="h5/npz/npy (tx, u) file for l2_file sweeps")
     p_eval.add_argument("--n-points", type=int, default=1000)
     p_eval.add_argument("--n-estimate", type=int, default=1_000_000)
 
@@ -53,7 +55,10 @@ def main(argv=None):
                                  n_estimate_terminal=args.n_estimate,
                                  n_estimate_integral=args.n_estimate)
         if args.do_l2:
-            ev.l2(args.n_points)
+            if args.sol_file is not None:
+                ev.l2_file(args.sol_file)
+            else:
+                ev.l2(args.n_points)
         else:
             ev.monte_carlo_at_zero()
     return 0

@@ -110,3 +110,42 @@ class ExperimentEvaluator:
                   f"L2(t0) = {rec['l2_t0']:.4e}")
             out.append(rec)
         return out
+
+    def l2_file(self, sol_file, plots: bool = True
+                ) -> List[Dict[str, float]]:
+        """Per-iteration L2 against a given (tx, u) solution file
+        (experiment_evaluator.py:103-111). Accepts .h5/.hdf5 with tx/u
+        datasets (reference format), .npz with tx/u, or .npy columns
+        [t, x(nx), u]."""
+        import numpy as np
+
+        from deeppicarditeration_tpu.evaluation.plots import plot_error
+
+        sol_file = pathlib.Path(sol_file)
+        if sol_file.suffix in (".h5", ".hdf5"):
+            import h5py
+
+            with h5py.File(sol_file, "r") as h5f:
+                tx = jnp.asarray(h5f["tx"][()])
+                u = jnp.asarray(h5f["u"][()])
+        elif sol_file.suffix == ".npz":
+            z = np.load(sol_file)
+            tx, u = jnp.asarray(z["tx"]), jnp.asarray(z["u"])
+        else:
+            data = jnp.asarray(np.load(sol_file))
+            nx = self.equation.nx
+            tx, u = data[:, :1 + nx], data[:, 1 + nx:2 + nx]
+        u = u.reshape(tx.shape[0], 1)
+        out = []
+        for i in range(1, self.cfg.PICARD.N + 1):
+            sol = self.get_solution(i)
+            u_sol = sol.value(tx)
+            err = jnp.abs(u_sol - u)
+            l2 = float(jnp.sqrt(jnp.mean(err ** 2)))
+            rec = {"iter": i, "l2": l2}
+            if plots:
+                plot_error(self.exp_dir, tx[:, 0], tx[:, 1:], err,
+                           f"iter_{i:03d}_of_given_file")
+            print(f"Iter {i}: L2 error = {l2:.4e}")
+            out.append(rec)
+        return out

@@ -107,6 +107,27 @@ def test_e2e_experiment_evaluator(trained_runner):
     l2 = ev.l2(200)
     assert l2[-1]["l2_td"] < 0.1
 
+    # l2_file sweep against a reference-format H5 (tx, u) file
+    # (experiment_evaluator.py:103-111)
+    import h5py
+    import numpy as np
+
+    eq = trained_runner.equation
+    key = jax.random.PRNGKey(9)
+    t = jax.random.uniform(key, (128, 1)) * eq.T
+    x = eq.sample_x(jax.random.fold_in(key, 1), t)
+    tx = np.concatenate([np.asarray(t), np.asarray(x)], axis=1)
+    u = np.asarray(eq.exact_solution(t, x))
+    h5_path = trained_runner.exp_dir / "sol_file.h5"
+    with h5py.File(h5_path, "w") as f:
+        f["tx"], f["u"] = tx, u
+    lf = ev.l2_file(h5_path)
+    assert len(lf) == trained_runner.N
+    assert lf[-1]["l2"] < 0.1
+    assert (trained_runner.exp_dir
+            / f"iter_{trained_runner.N:03d}_of_given_file"
+              "_error_distribution.png").exists()
+
 
 def test_e2e_exact_data_mode(tmp_path):
     """DATA.EXACT isolates the regression stack from the estimators
