@@ -45,7 +45,7 @@ dbdp() { # name timeout cfg
   local name=$1 tmo=$2 cfg=$3
   mkdir -p "$Q/$name"
   ( cd "$Q/$name" && \
-    run "$name" "$tmo" env PYTHONPATH="$ROOT" \
+    run "$name" "$tmo" env PYTHONPATH="$ROOT${PYTHONPATH:+:$PYTHONPATH}" \
       python -m deeppicarditeration_tpu.cli train "$ROOT/$cfg" )
   python - "$Q/$name" "bench_results/${name}_tpu.jsonl" <<'EOF'
 import json, pathlib, sys
