@@ -91,6 +91,33 @@ def test_dp_train_step_matches_single_device(key):
     np.testing.assert_allclose(float(loss_single), float(loss_dp), rtol=1e-5)
 
 
+def test_mc_axis_sharded_self_consistency(key):
+    """10^6-sample-style eval with the M axis split across 8 virtual
+    devices: agrees with the single-device estimate within CLT bounds
+    (survey §5.7 MC-sample-axis sharding)."""
+    import jax.numpy as jnp
+
+    from deeppicarditeration_tpu.equations import make_equation
+    from deeppicarditeration_tpu.evaluation.evaluator import (
+        monte_carlo_at,
+        monte_carlo_at_sharded,
+    )
+    from deeppicarditeration_tpu.models.solution import Solution
+    from deeppicarditeration_tpu.ops import estimators as est
+
+    eq = make_equation("Cha", nx=4, alpha=1.0, k=1.0, T=1.0)
+    sol = Solution.oracle(eq)
+    gen = est.GenConfig(n_estimate_terminal=4096, n_estimate_integral=4096,
+                        chunk_elems=2 ** 18)
+    x0 = jnp.zeros((1, eq.nx))
+    u_single = monte_carlo_at(key, eq, sol, gen, x0)
+    u_sharded = monte_carlo_at_sharded(jax.random.fold_in(key, 1), eq, sol,
+                                       gen, x0)
+    exact = eq.exact_solution(jnp.zeros((1, 1)), x0)
+    assert abs(float(u_sharded[0, 0] - exact[0, 0])) < 0.05
+    assert abs(float(u_single[0, 0] - u_sharded[0, 0])) < 0.05
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 
