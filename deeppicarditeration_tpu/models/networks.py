@@ -15,9 +15,20 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+def _elu(x):
+    """ELU via exp, not jax.nn.elu's expm1: Mosaic (Pallas TPU) has no
+    expm1 lowering, and the frozen net is traced INTO the fused integral
+    kernel (ops/pallas_kernels.py). f32 deviation from expm1 is ~1 ulp
+    near 0 — orders of magnitude below MC estimator noise.
+
+    jnp.where on the exp argument too, so the gradient has no inf * 0."""
+    safe = jnp.where(x > 0, 0.0, x)
+    return jnp.where(x > 0, x, jnp.exp(safe) - 1.0)
+
+
 _ACTIVATIONS = {
     "Tanh": jnp.tanh,
-    "ELU": jax.nn.elu,
+    "ELU": _elu,
     "ReLU": jax.nn.relu,
     "GELU": jax.nn.gelu,
     "SiLU": jax.nn.silu,

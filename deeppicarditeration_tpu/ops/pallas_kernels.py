@@ -194,13 +194,15 @@ def _integral_kernel(seed_ref, t_ref, x_ref, f0_ref, *rest, f_of: Callable,
             # one (tile_b, LANE) uniform draw covers the mblk s-samples
             # (1/mblk of the dW draw cost); antithetic pairs share s
             u_row = _uniform((tile_b, LANE))
+            # slice+reshape, NOT x[:, :k, None]: the newaxis getitem lowers
+            # through jnp's gather path, which Mosaic rejects
             if antithetic:
-                uh = u_row[:, :half, None]
+                uh = u_row[:, :half].reshape(tile_b, half, 1)
                 u01 = jnp.concatenate([uh, uh], axis=1)
                 h = _normals((tile_b, half, nx_pad))
                 dW = jnp.concatenate([h, -h], axis=1) * mask
             else:
-                u01 = u_row[:, :mblk, None]
+                u01 = u_row[:, :mblk].reshape(tile_b, mblk, 1)
                 dW = _normals((tile_b, mblk, nx_pad)) * mask
         s = t[:, None, :] + u01 * Tt[:, None, :]  # (tile_b, mblk, 1)
         st = s - t[:, None, :]
