@@ -233,6 +233,7 @@ def default_cfg() -> Config:
     c.DATA.TPU.PRNG = False  # hardware-PRNG normals kernel (off: threefry)
     c.DATA.TPU.PALLAS_TERMINAL = False  # fused VMEM terminal estimator
     c.DATA.TPU.PALLAS_INTEGRAL = False  # fused VMEM integral estimator
+    c.DATA.TPU.PALLAS_GENERATE = False  # merged terminal+integral kernel
 
     c.MESH = Config()
     c.MESH.AXES = ["data"]

@@ -56,6 +56,7 @@ class GenConfig:
     antithetic: bool = False  # +/- dW pairs: half the draws, lower variance
     pallas_terminal: bool = False  # fused VMEM terminal estimator kernel
     pallas_integral: bool = False  # fused VMEM integral estimator kernel
+    pallas_generate: bool = False  # merged terminal+integral kernel
 
     def chunk(self, m: int, batch: int, nx: int) -> int:
         """Largest divisor of m with batch * chunk * nx <= chunk_elems
@@ -488,6 +489,18 @@ def generate_values(key, eq, sol: Solution, tx, gen: GenConfig):
 
 def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
     k1, k2 = jax.random.split(key)
+    if (gen.pallas_generate and gen.estimate_delta_t == 0
+            and gen.n_estimate_terminal == gen.n_estimate_integral
+            and eq.has_gradient_term and not eq.has_hessian_term
+            and not eq.has_laplacian_term):
+        from deeppicarditeration_tpu.ops.pallas_kernels import (
+            generate_with_gradients_pallas,
+            seed_from_key,
+        )
+
+        return generate_with_gradients_pallas(
+            seed_from_key(key, 2), eq, sol, tx, gen.n_estimate_terminal,
+            antithetic=gen.antithetic)
     if gen.estimate_delta_t > 0:
         if sol.output_dim == 1:
             g = estimate_terminal_with_gradients_td(k1, eq, sol, tx, gen)

@@ -86,6 +86,7 @@ def gen_config_from_cfg(cfg, i: int) -> GenConfig:
         antithetic=bool(d.TPU.ANTITHETIC),
         pallas_terminal=bool(d.TPU.PALLAS_TERMINAL),
         pallas_integral=bool(d.TPU.PALLAS_INTEGRAL),
+        pallas_generate=bool(d.TPU.PALLAS_GENERATE),
     )
 
 

@@ -186,6 +186,39 @@ def test_pallas_integral_zero_solution(key):
                                atol=3e-5)
 
 
+@pytest.mark.parametrize("eq_name", ["Cha", "OUProcessEquation"])
+def test_pallas_generate_merged_exact_vs_reference(eq_name, key):
+    """Merged terminal+integral kernel == sum of the two jnp references on
+    the same external randomness."""
+    from deeppicarditeration_tpu.ops.pallas_kernels import (
+        generate_with_gradients_pallas,
+    )
+
+    if eq_name == "Cha":
+        eq = make_equation("Cha", nx=5, alpha=1.3, k=1.0, T=1.0)
+    else:
+        eq = make_equation("OUProcessEquation", seed=0, nx=5, alpha=1.0,
+                           T=1.0)
+    nx, b, m = eq.nx, 16, 32
+    kt, kx, kn1, kn2, ku, kp = jax.random.split(key, 6)
+    sol = _frozen_mlp_solution(kp, nx)
+    t = jax.random.uniform(kt, (b, 1)) * 0.8
+    x = jax.random.normal(kx, (b, nx))
+    tx = jnp.concatenate([t, x], axis=-1)
+    noise_t = jax.random.normal(kn1, (b, m, nx))
+    noise_i = jax.random.normal(kn2, (b, m, nx))
+    u01 = jax.random.uniform(ku, (b, m, 1))
+    out = generate_with_gradients_pallas(0, eq, sol, tx, m, tile_b=8,
+                                         mblk=8, u01=u01, noise_t=noise_t,
+                                         noise_i=noise_i)
+    ref = (_reference_terminal(eq, tx, noise_t)
+           + _reference_integral(eq, sol, tx, u01, noise_i))
+    # the references each add the value-slot baseline once; the merged
+    # kernel also adds both baselines once => identical composition
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-5,
+                               atol=5e-5)
+
+
 @pytest.mark.skipif(not ON_TPU, reason="in-kernel PRNG requires real TPU")
 def test_pallas_terminal_inkernel_prng_semigroup(key):
     nx, b, m = 3, 16, 8192
