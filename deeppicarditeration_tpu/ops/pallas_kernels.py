@@ -498,7 +498,8 @@ def seed_from_key(key, salt: int = 0):
     """Derive an int32 scalar seed from a jax PRNG key (for tpu_normals)."""
     data = jax.random.key_data(key).astype(jnp.uint32)
     mixed = data.reshape(-1)[0] ^ (data.reshape(-1)[-1] * jnp.uint32(2654435761))
-    return (mixed ^ jnp.uint32(salt * 0x9E3779B9)).astype(jnp.int32)
+    return (mixed ^ jnp.uint32((salt * 0x9E3779B9) & 0xFFFFFFFF)).astype(
+        jnp.int32)
 
 
 def _terminal_kernel(seed_ref, t_ref, x_ref, g0_ref, *rest, g_fn: Callable,
