@@ -28,6 +28,11 @@ def bench_tpu(b=4096, m=4096, nx=100, repeats=8):
     import jax
     import jax.numpy as jnp
 
+    # Match the shipped accuracy policy (PRECISION.md): full-f32 matmuls.
+    # Measured free on this workload once nothing is dead-code-eliminated
+    # (651.9 ms highest vs 619.5 default on the XLA path at this scale).
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     from deeppicarditeration_tpu.equations import make_equation
     from deeppicarditeration_tpu.models.networks import MLP
     from deeppicarditeration_tpu.models.solution import Solution
@@ -48,8 +53,11 @@ def bench_tpu(b=4096, m=4096, nx=100, repeats=8):
         out = est.generate_with_gradients(key, e, s, tx, gen)
         # scalar token: creates a data dependency so chained calls measure
         # true device time even through remote-dispatch tunnels where
-        # block_until_ready is not a reliable completion barrier.
-        return out[0, 0] * 1e-9 + salt
+        # block_until_ready is not a reliable completion barrier. The
+        # token reduces over the FULL output — consuming a single element
+        # lets XLA dead-code-eliminate entire estimator branches (e.g.
+        # the gradient heads) and over-reports throughput ~2x.
+        return jnp.sum(out) * 1e-9 + salt
 
     key = jax.random.PRNGKey(1)
     salt = jnp.zeros(())

@@ -233,7 +233,12 @@ def default_cfg() -> Config:
     c.DATA.TPU.PRNG = False  # hardware-PRNG normals kernel (off: threefry)
     c.DATA.TPU.PALLAS_TERMINAL = False  # fused VMEM terminal estimator
     c.DATA.TPU.PALLAS_INTEGRAL = False  # fused VMEM integral estimator
-    c.DATA.TPU.PALLAS_GENERATE = False  # merged terminal+integral kernel
+    # Merged terminal+integral estimator kernel: false | true | auto.
+    # "auto" (default) takes the kernel on TPU when the frozen net fits
+    # the VMEM budget — the measured net win at full-f32 matmul precision
+    # (BASELINE.md "Fused Pallas estimator kernels"). Oversized nets
+    # (e.g. 4x512 PISGradNet) stay on the XLA scan path automatically.
+    c.DATA.TPU.PALLAS_GENERATE = "auto"
 
     c.MESH = Config()
     c.MESH.AXES = ["data"]

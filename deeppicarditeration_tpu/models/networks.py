@@ -58,15 +58,21 @@ class MLP(nn.Module):
     out_dim: int
     bound: Optional[float] = None
     param_dtype: jnp.dtype = jnp.float32
+    # Optional custom contraction (lax.dot_general signature). Used by the
+    # fused Pallas estimator kernels to emulate 3-pass-bf16 matmuls in a
+    # Mosaic body where precision=HIGH does not lower (see
+    # ops/pallas_kernels.py:bf16x3_dot_general). None => lax.dot_general.
+    dot_general: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, tx):
         h = tx
         assert len(self.neurons) == len(self.activations)
+        dg = {} if self.dot_general is None else {"dot_general": self.dot_general}
         for width, act in zip(self.neurons, self.activations):
-            h = nn.Dense(width, param_dtype=self.param_dtype)(h)
+            h = nn.Dense(width, param_dtype=self.param_dtype, **dg)(h)
             h = get_activation(act)(h)
-        h = nn.Dense(self.out_dim, param_dtype=self.param_dtype)(h)
+        h = nn.Dense(self.out_dim, param_dtype=self.param_dtype, **dg)(h)
         if self.bound is not None:
             assert self.bound > 0
             h = jnp.clip(h, -self.bound, self.bound)

@@ -56,7 +56,11 @@ class GenConfig:
     antithetic: bool = False  # +/- dW pairs: half the draws, lower variance
     pallas_terminal: bool = False  # fused VMEM terminal estimator kernel
     pallas_integral: bool = False  # fused VMEM integral estimator kernel
-    pallas_generate: bool = False  # merged terminal+integral kernel
+    # Merged terminal+integral kernel: False / True / "auto". "auto"
+    # enables it on the TPU backend when the frozen net + equation fit
+    # the VMEM budget (pallas_kernels.generate_fits_vmem) — the measured
+    # net end-to-end win at full-f32 matmul precision (BASELINE.md).
+    pallas_generate: object = "auto"
 
     def chunk(self, m: int, batch: int, nx: int) -> int:
         """Largest divisor of m with batch * chunk * nx <= chunk_elems
@@ -481,6 +485,31 @@ def estimate_terminal_with_gradients_td_bygx(key, eq, sol: Solution, tx,
 # dispatchers (data.py:1203-1223) and two-layer formula (data.py:1328-1379)
 # ---------------------------------------------------------------------------
 
+def _use_pallas_generate(gen: GenConfig, eq, sol: Solution) -> bool:
+    """Resolve the pallas_generate tri-state (False / True / "auto").
+
+    "auto" takes the merged kernel only on the real TPU backend (the CPU
+    Pallas interpreter stubs the hardware PRNG to zeros) and only when
+    the frozen net + equation fit the VMEM budget.
+    """
+    mode = gen.pallas_generate
+    if mode is True:
+        return True
+    if mode == "auto":
+        # Real TPU backend only: the CPU Pallas interpreter stubs the
+        # hardware PRNG to zeros. Single device only: a pallas_call has
+        # no SPMD partitioning rule, so under a multi-chip pjit it would
+        # compute replicated — the XLA scan path shards cleanly there.
+        if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
+            return False
+        from deeppicarditeration_tpu.ops.pallas_kernels import (
+            generate_fits_vmem,
+        )
+
+        return generate_fits_vmem(eq, sol, sol.nx)
+    return False
+
+
 def generate_values(key, eq, sol: Solution, tx, gen: GenConfig):
     k1, k2 = jax.random.split(key)
     return (estimate_terminal(k1, eq, tx, gen)
@@ -489,7 +518,7 @@ def generate_values(key, eq, sol: Solution, tx, gen: GenConfig):
 
 def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
     k1, k2 = jax.random.split(key)
-    if (gen.pallas_generate and gen.estimate_delta_t == 0
+    if (_use_pallas_generate(gen, eq, sol) and gen.estimate_delta_t == 0
             and gen.n_estimate_terminal == gen.n_estimate_integral
             and eq.has_gradient_term and not eq.has_hessian_term
             and not eq.has_laplacian_term):
@@ -498,9 +527,13 @@ def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
             seed_from_key,
         )
 
+        # In-kernel net dots use the 3-pass-bf16 emulation (max |Δ| ~2e-5
+        # vs full f32 on the 100-d Burgers targets — accuracy-equivalent
+        # to the PRECISION.MATMUL: highest policy; Mosaic cannot lower
+        # precision=HIGH natively). See pallas_kernels.bf16x3_dot_general.
         return generate_with_gradients_pallas(
             seed_from_key(key, 2), eq, sol, tx, gen.n_estimate_terminal,
-            antithetic=gen.antithetic)
+            antithetic=gen.antithetic, mxu_precision="bf16x3")
     if gen.estimate_delta_t > 0:
         if sol.output_dim == 1:
             g = estimate_terminal_with_gradients_td(k1, eq, sol, tx, gen)

@@ -142,6 +142,122 @@ def _captured_specs(arrs):
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in arrs]
 
 
+# ---------------------------------------------------------------------------
+# 3-pass-bf16 matmul emulation ("HIGH" precision) for Mosaic bodies
+# ---------------------------------------------------------------------------
+# Mosaic rejects precision=HIGH on in-kernel dots ("Unsupported dot
+# precision: HIGH") — only DEFAULT (1-pass bf16) and HIGHEST (full f32)
+# lower. DEFAULT loses ~5% relative accuracy on the gradient head
+# (PRECISION.md); HIGHEST pays the full 6-pass cost. This emulates the
+# missing middle: split each f32 operand into a bf16 hi part and an f32
+# residual, and form hi*hi + lo*hi + hi*lo with three 1-pass bf16 MXU
+# dots (the lo*lo term is ~2^-16 relative and dropped — exactly XLA's
+# HIGH strategy). Max |Δ| vs full f32 measured ~2e-5 on the 100-d
+# Burgers targets.
+
+def _split3(a, b, dimension_numbers):
+    a_hi = a.astype(jnp.bfloat16).astype(a.dtype)
+    b_hi = b.astype(jnp.bfloat16).astype(b.dtype)
+    a_lo = a - a_hi
+    b_lo = b - b_hi
+
+    def d(u, v):
+        # precision pinned to DEFAULT: the caller's trace may run under
+        # default_matmul_precision("highest"), and Mosaic rejects a bf16
+        # tpu.matmul carrying contract_precision<fp32> ("Bad lhs type")
+        return jax.lax.dot_general(
+            u.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            dimension_numbers, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+
+    return (d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)).astype(a.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bf16x3_dense_dot(a, b, dimension_numbers):
+    return _split3(a, b, dimension_numbers)
+
+
+def _bf16x3_fwd(a, b, dimension_numbers):
+    return _split3(a, b, dimension_numbers), (a, b)
+
+
+def _bf16x3_bwd(dimension_numbers, res, g):
+    # Specialised to the nn.Dense contraction: a (..., K) @ b (K, N).
+    (contract, batch) = dimension_numbers
+    assert batch == ((), ()) and contract[1] == (0,), (
+        "bf16x3 dot_general only supports the Dense (..., K) @ (K, N) "
+        f"pattern, got {dimension_numbers}")
+    a, b = res
+    # da = g @ b^T : contract g's last dim with b's output dim
+    da = _split3(g, b, (((g.ndim - 1,), (1,)), ((), ())))
+    # db = a^T @ g : contract the flattened leading dims
+    a2 = a.reshape((-1, a.shape[-1]))
+    g2 = g.reshape((-1, g.shape[-1]))
+    db = _split3(a2, g2, (((0,), (0,)), ((), ())))
+    return da, db
+
+
+_bf16x3_dense_dot.defvjp(_bf16x3_fwd, _bf16x3_bwd)
+
+
+def bf16x3_dot_general(a, b, dimension_numbers, precision=None,
+                       preferred_element_type=None):
+    """Drop-in ``dot_general`` for nn.Dense emulating 3-pass-bf16 (HIGH)
+    precision with three DEFAULT-precision MXU dots; custom VJP so the
+    backward dots are 3-pass too (and never mixed-dtype)."""
+    return _bf16x3_dense_dot(a, b, dimension_numbers)
+
+
+def _sol_statics(sol, mxu_precision):
+    """Solution static fields for in-kernel reconstruction. For
+    mxu_precision="bf16x3" the module's dots are swapped for the 3-pass
+    emulation (modules without a dot_general knob keep their dots and
+    rely on the trace-time default precision instead)."""
+    module = sol.module
+    if (mxu_precision == "bf16x3" and module is not None
+            and hasattr(module, "dot_general")):
+        module = module.clone(dot_general=bf16x3_dot_general)
+    return dict(module=module, kind=sol.kind, net_type=sol.net_type,
+                nx=sol.nx, gfn=sol.gfn)
+
+
+# VMEM budget for the auto-dispatch fit check. A v5e core has ~16 MB of
+# VMEM; Mosaic needs headroom for double-buffered input/output blocks and
+# its own temporaries, so the working-set estimate is gated well below.
+_VMEM_BUDGET_BYTES = 12 * 2 ** 20
+
+
+def generate_vmem_bytes(eq, sol, nx: int, tile_b: int = 128,
+                        mblk: int = 8) -> int:
+    """Rough VMEM working-set estimate for the merged dual-estimator
+    kernel (``generate_with_gradients_pallas``).
+
+    Components: the captured arrays (frozen-net weights + equation
+    parameters, resident whole), per-inner-block sample buffers
+    (~3 copies of (tile*mblk, nx_pad) for dW/X_s/masks), the traced
+    frozen-net forward+vjp activations (~2 live copies per matmul output
+    width), and the (tile, 1+nx_pad) accumulator scratch.
+
+    Calibrated against measured cases (BASELINE.md): the 4x128 ELU MLP
+    (Burgers/Cha/FN frozen net) estimates ~7 MB and compiles; the 4x512
+    PISGradNet estimates ~24 MB and genuinely overflows Mosaic VMEM
+    allocation. The gate at 12 MB separates them with headroom.
+    """
+    nx_pad = _round_up(nx, LANE)
+    cap_arrs, _, _ = _flatten_captured((eq, sol.params))
+    params_bytes = sum(int(a.size) * 4 for a in cap_arrs)
+    widths = sum(int(a.shape[-1]) for a in cap_arrs if a.ndim >= 2)
+    rows = tile_b * mblk
+    act_bytes = rows * 4 * (3 * nx_pad + 2 * widths + 2 * (1 + nx_pad))
+    return params_bytes + act_bytes + tile_b * (1 + nx_pad) * 4
+
+
+def generate_fits_vmem(eq, sol, nx: int, tile_b: int = 128,
+                       mblk: int = 8) -> bool:
+    return generate_vmem_bytes(eq, sol, nx, tile_b, mblk) <= _VMEM_BUDGET_BYTES
+
+
 def _integral_kernel(seed_ref, t_ref, x_ref, f0_ref, *rest, f_of: Callable,
                      n_captured: int, captured_shapes, captured_treedef,
                      alpha_sqrt: float, T: float, m: int, nx: int,
@@ -227,7 +343,8 @@ def integral_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
                                    f0: jnp.ndarray | None = None,
                                    u01: jnp.ndarray | None = None,
                                    noise: jnp.ndarray | None = None,
-                                   interpret: bool | None = None):
+                                   interpret: bool | None = None,
+                                   mxu_precision: str | None = None):
     """Pallas drop-in for estimate_integral_with_gradients (the standard
     gradient-term path: no Hessian/SDGD, no TD horizon — those fall back
     to the XLA scan).
@@ -261,14 +378,16 @@ def integral_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
     # kernel INPUTS, not closure constants; statics (module, nx, flags)
     # ride through the treedef / the Solution constructor fields.
     cap_arrs, cap_shapes, cap_treedef = _flatten_captured((eq, sol.params))
-    sol_statics = dict(module=sol.module, kind=sol.kind,
-                       net_type=sol.net_type, nx=sol.nx, gfn=sol.gfn)
+    sol_statics = _sol_statics(sol, mxu_precision)
 
     def f_of(captured, s2, xs2):
         eq_in, params_in = captured
         from deeppicarditeration_tpu.models.solution import Solution
 
         sol_in = Solution(params=params_in, **sol_statics)
+        if mxu_precision is not None and mxu_precision != "bf16x3":
+            with jax.default_matmul_precision(mxu_precision):
+                return get_f(eq_in, sol_in, s2, xs2)
         return get_f(eq_in, sol_in, s2, xs2)
 
     external = noise is not None
@@ -412,10 +531,16 @@ def generate_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
                                    u01: jnp.ndarray | None = None,
                                    noise_t: jnp.ndarray | None = None,
                                    noise_i: jnp.ndarray | None = None,
-                                   interpret: bool | None = None):
+                                   interpret: bool | None = None,
+                                   mxu_precision: str | None = None):
     """Merged-drop-in for generate_with_gradients (terminal + integral in
     one fused VMEM kernel; see _generate_kernel). ``m`` is the shared
-    per-point sample count for both estimators."""
+    per-point sample count for both estimators.
+
+    ``mxu_precision`` pins the matmul precision of the in-kernel
+    frozen-net dots regardless of the caller's trace-time default
+    ("high" = 3-pass bf16, max |Δ| ~2e-5 vs full f32 on the 100-d
+    Burgers targets — accuracy-equivalent; see PRECISION.md)."""
     from deeppicarditeration_tpu.ops.derivatives import get_f
     from deeppicarditeration_tpu.ops.estimators import _ST_FLOOR
 
@@ -435,8 +560,7 @@ def generate_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
     g0 = eq.g(x)
     f0 = get_f(eq, sol, t, x)
     cap_arrs, cap_shapes, cap_treedef = _flatten_captured((eq, sol.params))
-    sol_statics = dict(module=sol.module, kind=sol.kind,
-                       net_type=sol.net_type, nx=sol.nx, gfn=sol.gfn)
+    sol_statics = _sol_statics(sol, mxu_precision)
 
     def g_fn(captured, x_padded):
         eq_in, _ = captured
@@ -447,6 +571,9 @@ def generate_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
         from deeppicarditeration_tpu.models.solution import Solution
 
         sol_in = Solution(params=params_in, **sol_statics)
+        if mxu_precision is not None and mxu_precision != "bf16x3":
+            with jax.default_matmul_precision(mxu_precision):
+                return get_f(eq_in, sol_in, s2, xs2)
         return get_f(eq_in, sol_in, s2, xs2)
 
     external = noise_t is not None

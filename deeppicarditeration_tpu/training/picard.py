@@ -59,6 +59,16 @@ from deeppicarditeration_tpu.utils.progress import PicardProgress
 import optax
 
 
+def _tri_state(v):
+    """Parse a false/true/"auto" config value (YAML bool or string)."""
+    if isinstance(v, str):
+        s = v.strip().lower()
+        if s == "auto":
+            return "auto"
+        return s in ("1", "true", "yes", "on")
+    return bool(v)
+
+
 def gen_config_from_cfg(cfg, i: int) -> GenConfig:
     d = cfg.DATA
     kwargs = d.kwargs or {}
@@ -86,7 +96,7 @@ def gen_config_from_cfg(cfg, i: int) -> GenConfig:
         antithetic=bool(d.TPU.ANTITHETIC),
         pallas_terminal=bool(d.TPU.PALLAS_TERMINAL),
         pallas_integral=bool(d.TPU.PALLAS_INTEGRAL),
-        pallas_generate=bool(d.TPU.PALLAS_GENERATE),
+        pallas_generate=_tri_state(d.TPU.PALLAS_GENERATE),
     )
 
 
@@ -234,7 +244,18 @@ class PicardRunner:
         sol_m2 = self.u_history[-2] if mode == "two_layer" else None
 
         def builder():
-            @partial(jax.jit, static_argnames=())
+            # out_shardings partitions generation over the mesh data axis:
+            # each device draws and reduces only its slice of collocation
+            # points (threefry is partitionable, the estimator is pointwise
+            # across the batch). Without it a multi-chip pjit computes the
+            # whole batch replicated and reshards afterwards. in_shardings
+            # is replicated explicitly: checkpoint-restored keys/params are
+            # committed to device 0 and would otherwise clash with the
+            # multi-device output sharding.
+            shd, repl = self.sharding, self.repl
+
+            @partial(jax.jit, in_shardings=(repl, repl, repl, repl),
+                     out_shardings=(shd, shd))
             def sample(k, e, s, s2):
                 return sample_batch(k, e, s, n_total, gen, mode=mode,
                                     sol_m2=s2)

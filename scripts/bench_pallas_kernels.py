@@ -64,7 +64,7 @@ def bench_terminal(eq, sol, tx, est, m):
     @jax.jit
     def xla(key, salt):
         out = est.estimate_terminal_with_gradients(key, eq, tx, gen)
-        return out[0, 0] * 1e-9 + salt
+        return jnp.sum(out) * 1e-9 + salt
 
     results = {"xla_s": timed(xla, jax.random.PRNGKey(11))}
     print(json.dumps({"kernel": "terminal", "variant": "xla",
@@ -78,7 +78,7 @@ def bench_terminal(eq, sol, tx, est, m):
             out = terminal_with_gradients_pallas(
                 seed_from_key(key), eq, tx, m, tile_b=tile_b, mblk=mblk,
                 antithetic=anti, interpret=False)
-            return out[0, 0] * 1e-9 + salt
+            return jnp.sum(out) * 1e-9 + salt
 
         try:
             sec = timed(pk, jax.random.PRNGKey(12))
@@ -104,7 +104,7 @@ def bench_integral(eq, sol, tx, est, m):
     @jax.jit
     def xla(key, salt):
         out = est.estimate_integral_with_gradients(key, eq, sol, tx, gen)
-        return out[0, 0] * 1e-9 + salt
+        return jnp.sum(out) * 1e-9 + salt
 
     base = timed(xla, jax.random.PRNGKey(21))
     print(json.dumps({"kernel": "integral", "variant": "xla", "sec": base}),
@@ -116,7 +116,7 @@ def bench_integral(eq, sol, tx, est, m):
             out = integral_with_gradients_pallas(
                 seed_from_key(key), eq, sol, tx, m, tile_b=tile_b,
                 mblk=mblk, interpret=False)
-            return out[0, 0] * 1e-9 + salt
+            return jnp.sum(out) * 1e-9 + salt
 
         try:
             sec = timed(pk, jax.random.PRNGKey(22))
@@ -130,10 +130,51 @@ def bench_integral(eq, sol, tx, est, m):
                           "speedup_vs_xla": base / sec}), flush=True)
 
 
+def bench_generate(eq, sol, tx, est, m):
+    """Merged dual-estimator kernel vs the one-graph XLA path, both at
+    accuracy-policy precision (outer highest; in-kernel dots pinned)."""
+    from deeppicarditeration_tpu.ops.pallas_kernels import (
+        generate_with_gradients_pallas,
+        seed_from_key,
+    )
+
+    gen = est.GenConfig(n_estimate_terminal=m, n_estimate_integral=m,
+                        chunk_elems=2 ** 25, pallas_generate=False)
+
+    @jax.jit
+    def xla(key, salt):
+        out = est.generate_with_gradients(key, eq, sol, tx, gen)
+        return jnp.sum(out) * 1e-9 + salt
+
+    base = timed(xla, jax.random.PRNGKey(31))
+    print(json.dumps({"kernel": "generate", "variant": "xla_highest",
+                      "sec": base}), flush=True)
+
+    for tile_b, mblk, prec in itertools.product((128, 512), (8, 16),
+                                                ("bf16x3",)):
+        @jax.jit
+        def pk(key, salt, tile_b=tile_b, mblk=mblk, prec=prec):
+            out = generate_with_gradients_pallas(
+                seed_from_key(key, 2), eq, sol, tx, m, tile_b=tile_b,
+                mblk=mblk, mxu_precision=prec)
+            return jnp.sum(out) * 1e-9 + salt
+
+        try:
+            sec = timed(pk, jax.random.PRNGKey(32))
+        except Exception as e:
+            print(json.dumps({"kernel": "generate", "tile_b": tile_b,
+                              "mblk": mblk, "prec": prec,
+                              "error": str(e)[:200]}), flush=True)
+            continue
+        print(json.dumps({"kernel": "generate", "tile_b": tile_b,
+                          "mblk": mblk, "prec": prec, "sec": sec,
+                          "speedup_vs_xla": base / sec}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="all",
-                    choices=("terminal", "integral", "all"))
+                    choices=("terminal", "integral", "generate", "all"))
     ap.add_argument("--b", type=int, default=4096)
     ap.add_argument("--m", type=int, default=4096)
     ap.add_argument("--nx", type=int, default=100)
@@ -145,6 +186,8 @@ def main():
         bench_terminal(eq, sol, tx, est, m)
     if args.which in ("integral", "all"):
         bench_integral(eq, sol, tx, est, m)
+    if args.which in ("generate", "all"):
+        bench_generate(eq, sol, tx, est, m)
 
 
 if __name__ == "__main__":

@@ -234,3 +234,113 @@ def test_pallas_terminal_inkernel_prng_semigroup(key):
                                rtol=0.1, atol=0.15)
     np.testing.assert_allclose(np.asarray(out[:, 1:]), expected_grad,
                                rtol=0.2, atol=0.3)
+
+
+# ---------------------------------------------------------------------------
+# auto-dispatch (PALLAS_GENERATE: auto)
+# ---------------------------------------------------------------------------
+
+def _mlp_solution(nx, neurons, net_type="Value", out_dim=1):
+    module = MLP(neurons=neurons, activations=("ELU",) * len(neurons),
+                 out_dim=out_dim)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
+    return Solution.from_net(module, params, net_type, nx)
+
+
+def test_generate_vmem_fit_heuristic():
+    """The known-good 4x128 MLP fits; the known-overflow 4x512 PISGradNet
+    does not (BASELINE.md measured cases)."""
+    from deeppicarditeration_tpu.models.networks import PISGradNet
+    from deeppicarditeration_tpu.ops.pallas_kernels import (
+        generate_fits_vmem,
+        generate_vmem_bytes,
+    )
+
+    nx = 100
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=5.0, T=1.0)
+    small = _mlp_solution(nx, (128, 128, 128, 128))
+    assert generate_fits_vmem(eq, small, nx)
+
+    eq_hjb = make_equation("OUProcessEquation", seed=0, nx=nx, alpha=1.0,
+                           T=1.0)
+    big_mod = PISGradNet(hidden_shapes=(512, 512, 512, 512), dim=nx,
+                         g0=eq_hjb.g, T=1.0)
+    big_params = big_mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
+    big = Solution.from_net(big_mod, big_params, "ValueGradient", nx)
+    assert not generate_fits_vmem(eq, big, nx)
+    assert generate_vmem_bytes(eq, big, nx) > generate_vmem_bytes(
+        eq, small, nx)
+
+
+def test_use_pallas_generate_tri_state():
+    from deeppicarditeration_tpu.ops import estimators as est
+
+    nx = 5
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=1.0, T=1.0)
+    sol = _mlp_solution(nx, (8, 8))
+    on_tpu = (jax.default_backend() == "tpu" and len(jax.devices()) == 1)
+    mk = lambda mode: est.GenConfig(pallas_generate=mode)
+    assert est._use_pallas_generate(mk(True), eq, sol) is True
+    assert est._use_pallas_generate(mk(False), eq, sol) is False
+    # "auto" requires the real single-device TPU backend
+    assert est._use_pallas_generate(mk("auto"), eq, sol) is on_tpu
+
+
+def test_tri_state_config_parse():
+    from deeppicarditeration_tpu.training.picard import _tri_state
+
+    assert _tri_state("auto") == "auto"
+    assert _tri_state("AUTO") == "auto"
+    assert _tri_state(True) is True
+    assert _tri_state("false") is False
+    assert _tri_state("on") is True
+    assert _tri_state(0) is False
+
+
+def test_bf16x3_dot_matches_f32():
+    """3-pass-bf16 emulated dot: fwd and vjp within ~2^-16 of full f32."""
+    from deeppicarditeration_tpu.ops.pallas_kernels import bf16x3_dot_general
+
+    key = jax.random.PRNGKey(3)
+    ka, kb, kg = jax.random.split(key, 3)
+    a = jax.random.normal(ka, (64, 101))
+    b = jax.random.normal(kb, (101, 128)) / 10.0
+    dn = (((1,), (0,)), ((), ()))
+
+    exact = jax.lax.dot_general(a, b, dn,
+                                precision=jax.lax.Precision.HIGHEST)
+    approx = bf16x3_dot_general(a, b, dn)
+    np.testing.assert_allclose(np.asarray(approx), np.asarray(exact),
+                               rtol=0, atol=2e-4)
+
+    g = jax.random.normal(kg, exact.shape)
+    _, vjp_e = jax.vjp(lambda u, v: jax.lax.dot_general(
+        u, v, dn, precision=jax.lax.Precision.HIGHEST), a, b)
+    _, vjp_a = jax.vjp(lambda u, v: bf16x3_dot_general(u, v, dn), a, b)
+    for e, ap in zip(vjp_e(g), vjp_a(g)):
+        np.testing.assert_allclose(np.asarray(ap), np.asarray(e),
+                                   rtol=0, atol=5e-3)
+
+
+def test_mlp_bf16x3_clone_close_and_param_compatible():
+    """MLP.clone(dot_general=bf16x3) keeps the param tree and tracks the
+    f32 forward/input-gradient to ~1e-4 — the merged kernel swaps the
+    module this way when mxu_precision='bf16x3'."""
+    from deeppicarditeration_tpu.ops.pallas_kernels import bf16x3_dot_general
+
+    nx = 7
+    mod = MLP(neurons=(32, 32), activations=("ELU", "ELU"), out_dim=1)
+    params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
+    mod3 = mod.clone(dot_general=bf16x3_dot_general)
+    assert jax.tree_util.tree_structure(
+        mod3.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
+    ) == jax.tree_util.tree_structure(params)
+
+    tx = jax.random.normal(jax.random.PRNGKey(1), (16, 1 + nx))
+    with jax.default_matmul_precision("highest"):
+        y = mod.apply(params, tx)
+        gy = jax.grad(lambda t: mod.apply(params, t).sum())(tx)
+    y3 = mod3.apply(params, tx)
+    gy3 = jax.grad(lambda t: mod3.apply(params, t).sum())(tx)
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gy3), np.asarray(gy), atol=1e-3)
