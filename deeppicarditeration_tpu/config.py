@@ -244,12 +244,13 @@ def default_cfg() -> Config:
     c.MESH.AXES = ["data"]
     c.MESH.SHAPE = None  # None => all local devices on one axis
 
-    # Matmul precision on the MXU: "default" (bf16 inputs, f32 accumulate),
-    # "float32"/"highest" (3-pass bf16 = full f32), "tensorfloat32".
+    # Matmul precision on the MXU: "default" (1-pass bf16), "high"
+    # (3-pass bf16), "float32"/"highest" (full f32), "tensorfloat32".
     # Measured on v5e (scripts/check_matmul_precision.py): "highest" costs
-    # <3% wall time on the DPI generation workload (it is RNG/VPU-bound,
-    # not matmul-bound) and removes a ~0.2% value / ~4% gradient-head
-    # rounding divergence — so full f32 is the default (PRECISION.md).
+    # ~18% wall on the XLA generation path but removes a ~0.3% value /
+    # ~3% gradient-head rounding divergence — accuracy wins (PRECISION.md).
+    # The merged Pallas estimator kernel (PALLAS_GENERATE: auto) avoids
+    # the trade: bf16x3 emulated-f32 dots, faster than even lossy bf16.
     c.PRECISION = Config()
     c.PRECISION.MATMUL = "highest"
 

@@ -253,7 +253,8 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
         # (the in-kernel net fwd+vjp holds ~8 MB of activations)
         return integral_with_gradients_pallas(
             seed_from_key(key, 1), eq, sol, tx, gen.n_estimate_integral,
-            tile_b=128, mblk=8, antithetic=gen.antithetic)
+            tile_b=128, mblk=8, antithetic=gen.antithetic,
+            mxu_precision="bf16x3")
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_integral
