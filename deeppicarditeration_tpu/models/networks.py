@@ -95,18 +95,27 @@ class PISGradNet(nn.Module):
     T: float = 1.0
     channels: int = 64
     param_dtype: jnp.dtype = jnp.float32
+    # see MLP.dot_general (bf16x3 swap for in-kernel tracing)
+    dot_general: Optional[Callable] = None
 
     def setup(self):
         self.timestep_phase = self.param(
             "timestep_phase", nn.initializers.zeros, (1, self.channels),
             self.param_dtype)
-        self.timestep_coeff = jnp.linspace(0.1, 100.0, self.channels)[None, :]
-        self.t_encoder = [nn.Dense(self.channels, param_dtype=self.param_dtype)
+        # linspace(0.1, 100, C) via integer iota + affine map: jnp.linspace
+        # lowers to a FLOAT iota, which Mosaic rejects when this module is
+        # traced into a Pallas body ('tpu.iota' must be integer).
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, self.channels), 1)
+        step = (100.0 - 0.1) / max(self.channels - 1, 1)
+        self.timestep_coeff = 0.1 + idx.astype(self.param_dtype) * step
+        dg = {} if self.dot_general is None else {"dot_general": self.dot_general}
+        self.t_encoder = [nn.Dense(self.channels, param_dtype=self.param_dtype,
+                                   **dg)
                           for _ in range(2)]
         widths = [self.channels] * (1 + len(self.hidden_shapes)) + [self.dim]
-        self.smooth_net = [nn.Dense(w, param_dtype=self.param_dtype)
+        self.smooth_net = [nn.Dense(w, param_dtype=self.param_dtype, **dg)
                            for w in widths]
-        self.nn_module = [nn.Dense(w, param_dtype=self.param_dtype)
+        self.nn_module = [nn.Dense(w, param_dtype=self.param_dtype, **dg)
                           for w in list(self.hidden_shapes) + [self.dim]]
 
     def _timestep_embedding(self, lbd):
@@ -117,7 +126,7 @@ class PISGradNet(nn.Module):
         h = emb
         h = self.smooth_net[0](h)
         for layer in self.smooth_net[1:]:
-            h = layer(jax.nn.elu(h))
+            h = layer(_elu(h))
         return h[..., 0:1]
 
     def __call__(self, tx):
@@ -129,11 +138,11 @@ class PISGradNet(nn.Module):
         smooth = self._smooth(emb) - self._smooth(zero_emb)
 
         t_emb = self.t_encoder[0](emb)
-        t_emb = self.t_encoder[1](jax.nn.elu(t_emb))
+        t_emb = self.t_encoder[1](_elu(t_emb))
 
         h = jnp.concatenate([t_emb, x], axis=-1)
         for layer in self.nn_module[:-1]:
-            h = jax.nn.elu(layer(h))
+            h = _elu(layer(h))
         net_out = self.nn_module[-1](h)
 
         sp_out = jnp.sum(net_out * x, axis=-1, keepdims=True)

@@ -486,29 +486,29 @@ def estimate_terminal_with_gradients_td_bygx(key, eq, sol: Solution, tx,
 # dispatchers (data.py:1203-1223) and two-layer formula (data.py:1328-1379)
 # ---------------------------------------------------------------------------
 
-def _use_pallas_generate(gen: GenConfig, eq, sol: Solution) -> bool:
-    """Resolve the pallas_generate tri-state (False / True / "auto").
+def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
+    """Resolve the pallas_generate tri-state (False / True / "auto") to a
+    batch tile for the merged kernel, or None for the XLA path.
 
     "auto" takes the merged kernel only on the real TPU backend (the CPU
-    Pallas interpreter stubs the hardware PRNG to zeros) and only when
-    the frozen net + equation fit the VMEM budget.
-    """
+    Pallas interpreter stubs the hardware PRNG to zeros), only on a
+    single device (a pallas_call has no SPMD partitioning rule, so under
+    a multi-chip pjit it would compute replicated — the XLA scan path
+    shards cleanly there), and only at the largest tile whose working
+    set fits the VMEM budget (wide nets get smaller tiles; see
+    pallas_kernels.pick_generate_tile)."""
     mode = gen.pallas_generate
     if mode is True:
-        return True
+        return 128
     if mode == "auto":
-        # Real TPU backend only: the CPU Pallas interpreter stubs the
-        # hardware PRNG to zeros. Single device only: a pallas_call has
-        # no SPMD partitioning rule, so under a multi-chip pjit it would
-        # compute replicated — the XLA scan path shards cleanly there.
         if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
-            return False
+            return None
         from deeppicarditeration_tpu.ops.pallas_kernels import (
-            generate_fits_vmem,
+            pick_generate_tile,
         )
 
-        return generate_fits_vmem(eq, sol, sol.nx)
-    return False
+        return pick_generate_tile(eq, sol, sol.nx, b)
+    return None
 
 
 def generate_values(key, eq, sol: Solution, tx, gen: GenConfig):
@@ -519,22 +519,26 @@ def generate_values(key, eq, sol: Solution, tx, gen: GenConfig):
 
 def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
     k1, k2 = jax.random.split(key)
-    if (_use_pallas_generate(gen, eq, sol) and gen.estimate_delta_t == 0
+    if (gen.estimate_delta_t == 0
             and gen.n_estimate_terminal == gen.n_estimate_integral
             and eq.has_gradient_term and not eq.has_hessian_term
             and not eq.has_laplacian_term):
-        from deeppicarditeration_tpu.ops.pallas_kernels import (
-            generate_with_gradients_pallas,
-            seed_from_key,
-        )
+        tile = _pallas_generate_tile(gen, eq, sol, tx.shape[0])
+        if tile is not None:
+            from deeppicarditeration_tpu.ops.pallas_kernels import (
+                generate_with_gradients_pallas,
+                seed_from_key,
+            )
 
-        # In-kernel net dots use the 3-pass-bf16 emulation (max |Δ| ~2e-5
-        # vs full f32 on the 100-d Burgers targets — accuracy-equivalent
-        # to the PRECISION.MATMUL: highest policy; Mosaic cannot lower
-        # precision=HIGH natively). See pallas_kernels.bf16x3_dot_general.
-        return generate_with_gradients_pallas(
-            seed_from_key(key, 2), eq, sol, tx, gen.n_estimate_terminal,
-            antithetic=gen.antithetic, mxu_precision="bf16x3")
+            # In-kernel net dots use the 3-pass-bf16 emulation (max |Δ|
+            # ~2e-5 vs full f32 on the 100-d Burgers targets — accuracy-
+            # equivalent to the PRECISION.MATMUL: highest policy; Mosaic
+            # cannot lower precision=HIGH natively). See
+            # pallas_kernels.bf16x3_dot_general.
+            return generate_with_gradients_pallas(
+                seed_from_key(key, 2), eq, sol, tx,
+                gen.n_estimate_terminal, tile_b=tile,
+                antithetic=gen.antithetic, mxu_precision="bf16x3")
     if gen.estimate_delta_t > 0:
         if sol.output_dim == 1:
             g = estimate_terminal_with_gradients_td(k1, eq, sol, tx, gen)

@@ -209,6 +209,20 @@ def bf16x3_dot_general(a, b, dimension_numbers, precision=None,
     return _bf16x3_dense_dot(a, b, dimension_numbers)
 
 
+def _rebind_statics(sol_statics, eq_in):
+    """Swap equation-closure fields on the module for ones bound to the
+    KERNEL-INPUT equation: PISGradNet's g0 (the terminal condition)
+    closes over the outer equation's arrays (e.g. the HJB GMM), which a
+    Pallas body may not capture as constants — rebinding to eq_in makes
+    those arrays flow through the declared VMEM inputs instead."""
+    mod = sol_statics["module"]
+    if mod is not None and getattr(mod, "g0", None) is not None:
+        statics = dict(sol_statics)
+        statics["module"] = mod.clone(g0=eq_in.g)
+        return statics
+    return sol_statics
+
+
 def _sol_statics(sol, mxu_precision):
     """Solution static fields for in-kernel reconstruction. For
     mxu_precision="bf16x3" the module's dots are swapped for the 3-pass
@@ -256,6 +270,17 @@ def generate_vmem_bytes(eq, sol, nx: int, tile_b: int = 128,
 def generate_fits_vmem(eq, sol, nx: int, tile_b: int = 128,
                        mblk: int = 8) -> bool:
     return generate_vmem_bytes(eq, sol, nx, tile_b, mblk) <= _VMEM_BUDGET_BYTES
+
+
+def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8):
+    """Largest batch tile (<= 128, dividing b) whose estimated working set
+    fits the VMEM budget, or None. Small nets (4x128 MLP) get tile 128;
+    wide nets (4x512 PISGradNet, ~5400 summed matmul widths) only fit at
+    tile 16 — still 128 MXU rows per inner block at mblk=8."""
+    for tile in (128, 64, 32, 16):
+        if b % tile == 0 and generate_fits_vmem(eq, sol, nx, tile, mblk):
+            return tile
+    return None
 
 
 def _integral_kernel(seed_ref, t_ref, x_ref, f0_ref, *rest, f_of: Callable,
@@ -384,7 +409,8 @@ def integral_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
         eq_in, params_in = captured
         from deeppicarditeration_tpu.models.solution import Solution
 
-        sol_in = Solution(params=params_in, **sol_statics)
+        sol_in = Solution(params=params_in,
+                          **_rebind_statics(sol_statics, eq_in))
         if mxu_precision is not None and mxu_precision != "bf16x3":
             with jax.default_matmul_precision(mxu_precision):
                 return get_f(eq_in, sol_in, s2, xs2)
@@ -570,7 +596,8 @@ def generate_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
         eq_in, params_in = captured
         from deeppicarditeration_tpu.models.solution import Solution
 
-        sol_in = Solution(params=params_in, **sol_statics)
+        sol_in = Solution(params=params_in,
+                          **_rebind_statics(sol_statics, eq_in))
         if mxu_precision is not None and mxu_precision != "bf16x3":
             with jax.default_matmul_precision(mxu_precision):
                 return get_f(eq_in, sol_in, s2, xs2)

@@ -280,10 +280,30 @@ def test_use_pallas_generate_tri_state():
     sol = _mlp_solution(nx, (8, 8))
     on_tpu = (jax.default_backend() == "tpu" and len(jax.devices()) == 1)
     mk = lambda mode: est.GenConfig(pallas_generate=mode)
-    assert est._use_pallas_generate(mk(True), eq, sol) is True
-    assert est._use_pallas_generate(mk(False), eq, sol) is False
+    assert est._pallas_generate_tile(mk(True), eq, sol, 256) == 128
+    assert est._pallas_generate_tile(mk(False), eq, sol, 256) is None
     # "auto" requires the real single-device TPU backend
-    assert est._use_pallas_generate(mk("auto"), eq, sol) is on_tpu
+    tile = est._pallas_generate_tile(mk("auto"), eq, sol, 256)
+    assert (tile == 128) is on_tpu and (tile is None) is not on_tpu
+
+
+def test_pick_generate_tile_by_net_size():
+    from deeppicarditeration_tpu.models.networks import PISGradNet
+    from deeppicarditeration_tpu.ops.pallas_kernels import pick_generate_tile
+
+    nx = 100
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=5.0, T=1.0)
+    small = _mlp_solution(nx, (128, 128, 128, 128))
+    assert pick_generate_tile(eq, small, nx, 4096) == 128
+
+    eq_hjb = make_equation("OUProcessEquation", seed=0, nx=nx, alpha=1.0,
+                           T=1.0)
+    big_mod = PISGradNet(hidden_shapes=(512, 512, 512, 512), dim=nx,
+                         g0=eq_hjb.g, T=1.0)
+    big_params = big_mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
+    big = Solution.from_net(big_mod, big_params, "ValueGradient", nx)
+    t = pick_generate_tile(eq_hjb, big, nx, 4096)
+    assert t is not None and t < 128  # fits only at a reduced tile
 
 
 def test_tri_state_config_parse():
