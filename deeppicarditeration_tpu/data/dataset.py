@@ -39,7 +39,7 @@ def generate_dataset(key, eq, sol: Solution, n_total: int,
                      sol_m2: Optional[Solution] = None,
                      gen_batch: Optional[int] = None,
                      sharding=None, dtype=jnp.float32,
-                     jit_sample=None) -> DeviceDataset:
+                     jit_sample=None, t_expo=None) -> DeviceDataset:
     """Generate the per-iteration supervised dataset on device.
 
     ``gen_batch`` bounds collocation points per generation dispatch (the
@@ -49,14 +49,17 @@ def generate_dataset(key, eq, sol: Solution, n_total: int,
     kernel compiles once)."""
     gen_batch = gen_batch or n_total
     sample = jit_sample or (
-        lambda k, e, s, s2: est.sample_batch(
-            k, e, s, gen_batch, gen, mode=mode, sol_m2=s2, dtype=dtype))
+        lambda k, e, s, s2, expo: est.sample_batch(
+            k, e, s, gen_batch, gen, mode=mode, sol_m2=s2, dtype=dtype,
+            t_expo=expo))
+    if t_expo is None:
+        t_expo = float(max(gen.N - gen.i + 1, 1))
     txs, ys = [], []
     n_done = 0
     ck = 0
     while n_done < n_total:
         k = jax.random.fold_in(key, ck)
-        tx, y = sample(k, eq, sol, sol_m2)
+        tx, y = sample(k, eq, sol, sol_m2, jnp.asarray(t_expo, dtype))
         if sharding is not None:
             tx = jax.device_put(tx, sharding)
             y = jax.device_put(y, sharding)

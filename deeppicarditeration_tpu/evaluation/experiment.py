@@ -94,7 +94,7 @@ class ExperimentEvaluator:
             sol = self.get_solution(i)
             kt = jax.random.fold_in(key, i)
             t_rand = sample_t_picard(jax.random.fold_in(kt, 0), n_points,
-                                     eq.T, N, i)
+                                     eq.T, max(N - i + 1, 1))
             rec = {"iter": i}
             rec["l2_td"] = l2_at_t(jax.random.fold_in(kt, 1), sol, eq,
                                    t_rand)["l2_error"]

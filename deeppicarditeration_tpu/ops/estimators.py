@@ -585,12 +585,18 @@ def generate_two_layer(key, eq, sol: Solution, sol_m2: Solution, tx,
 # batch sampling (tx draw + target generation, data.py:196-283)
 # ---------------------------------------------------------------------------
 
-def sample_tx(key, eq, n_batch: int, gen: GenConfig, dtype=jnp.float32):
+def sample_tx(key, eq, n_batch: int, gen: GenConfig, dtype=jnp.float32,
+              t_expo=None):
+    """Draw (t, x) collocation points. ``t_expo`` optionally overrides the
+    power-law factor count N - i + 1 with a TRACED scalar so the caller's
+    jit is iteration-independent (see training/picard.py)."""
     kt, kx = jax.random.split(key)
     if gen.t_always_uniform:
         t = sample_t_uniform(kt, n_batch, eq.T, gen.t_uniform_eps, dtype)
     else:
-        t = sample_t_picard(kt, n_batch, eq.T, gen.N, gen.i, dtype)
+        if t_expo is None:
+            t_expo = max(gen.N - gen.i + 1, 1)
+        t = sample_t_picard(kt, n_batch, eq.T, t_expo, dtype)
     x = eq.sample_x(kx, t)
     return jnp.concatenate([t, x], axis=-1)
 
@@ -603,7 +609,7 @@ def _clip(u, gen: GenConfig):
 
 def sample_batch(key, eq, sol: Solution, n_batch: int, gen: GenConfig,
                  mode: str = "gradient", sol_m2: Optional[Solution] = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, t_expo=None):
     """Draw collocation points and their MC targets.
 
     mode: 'value' | 'gradient' | 'hessian' | 'exact' | 'exact_gradient' |
@@ -611,7 +617,7 @@ def sample_batch(key, eq, sol: Solution, n_batch: int, gen: GenConfig,
     Returns (tx (B, 1+nx), targets (B, target_dim)).
     """
     k_tx, k_gen = jax.random.split(key)
-    tx = sample_tx(k_tx, eq, n_batch, gen, dtype)
+    tx = sample_tx(k_tx, eq, n_batch, gen, dtype, t_expo=t_expo)
     t, x = tx[:, :1], tx[:, 1:]
     if mode == "value":
         u = generate_values(k_gen, eq, sol, tx, gen)

@@ -254,19 +254,28 @@ class PicardRunner:
             # multi-device output sharding.
             shd, repl = self.sharding, self.repl
 
-            @partial(jax.jit, in_shardings=(repl, repl, repl, repl),
+            @partial(jax.jit, in_shardings=(repl, repl, repl, repl, repl),
                      out_shardings=(shd, shd))
-            def sample(k, e, s, s2):
-                return sample_batch(k, e, s, n_total, gen, mode=mode,
-                                    sol_m2=s2)
+            def sample(k, e, s, s2, expo):
+                return sample_batch(k, e, s, n_total, gen_keyed, mode=mode,
+                                    sol_m2=s2, t_expo=expo)
 
             return sample
 
-        # one jit per (mode, gen, n_total) triple — constant across iterations
-        jit_sample = self._jitted(("sample", mode, gen, n_total), builder)
+        # ONE jit across ALL Picard iterations: gen is normalized to i=0
+        # for both the closure and the cache key, and the iteration-
+        # dependent t-law exponent N - i + 1 rides in as a traced scalar.
+        # With i in the key, every iteration recompiled the same graph
+        # through the remote-TPU tunnel (10-20 s per iteration, measured).
+        import dataclasses as _dc
+
+        gen_keyed = _dc.replace(gen, i=0)
+        jit_sample = self._jitted(("sample", mode, gen_keyed, n_total),
+                                  builder)
         ds = generate_dataset(key, self.equation, self.u_current, n_total,
                               gen, mode, sol_m2=sol_m2,
-                              sharding=self.sharding, jit_sample=jit_sample)
+                              sharding=self.sharding, jit_sample=jit_sample,
+                              t_expo=float(max(gen.N - gen.i + 1, 1)))
         if cfg.DATA.SAVE:
             save_dataset(self.exp_dir / f"data_iter_{self.i}.npz", ds)
         return ds
@@ -470,8 +479,8 @@ class PicardRunner:
 
         eq, cfg = self.equation, self.cfg
         n = int(cfg.EVAL.PLOT_N_POINTS)
-        t = sample_t_picard(jax.random.fold_in(key, 0), n, eq.T, self.N,
-                            self.i)
+        t = sample_t_picard(jax.random.fold_in(key, 0), n, eq.T,
+                            max(self.N - self.i + 1, 1))
         x = eq.sample_x(jax.random.fold_in(key, 1), t)
         tx = jnp.concatenate([t, x], axis=-1)
         err = jnp.abs(self.u_current.value(tx) - eq.exact_solution(t, x))

@@ -274,11 +274,11 @@ def test_chunking_invariance(key):
 
 def test_t_sampler_power_law(key):
     # N - i + 1 = 1: t = T(1 - U) ~ U[0, T]
-    t = sample_t_picard(key, 200_000, T=2.0, N=3, i=3)
+    t = sample_t_picard(key, 200_000, T=2.0, n_factors=1)
     tn = np.asarray(t)
     assert abs(tn.mean() - 1.0) < 0.01
     # N - i + 1 = 2: E[prod U] = 1/4 -> E t = T * 3/4
-    t2 = sample_t_picard(key, 200_000, T=2.0, N=4, i=3)
+    t2 = sample_t_picard(key, 200_000, T=2.0, n_factors=2)
     assert abs(np.asarray(t2).mean() - 1.5) < 0.01
 
 
