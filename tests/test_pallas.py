@@ -186,10 +186,12 @@ def test_pallas_integral_zero_solution(key):
                                atol=3e-5)
 
 
+@pytest.mark.parametrize("split_chains", [False, True])
 @pytest.mark.parametrize("eq_name", ["Cha", "OUProcessEquation"])
-def test_pallas_generate_merged_exact_vs_reference(eq_name, key):
+def test_pallas_generate_merged_exact_vs_reference(eq_name, split_chains,
+                                                   key):
     """Merged terminal+integral kernel == sum of the two jnp references on
-    the same external randomness."""
+    the same external randomness (both chain layouts)."""
     from deeppicarditeration_tpu.ops.pallas_kernels import (
         generate_with_gradients_pallas,
     )
@@ -210,7 +212,8 @@ def test_pallas_generate_merged_exact_vs_reference(eq_name, key):
     u01 = jax.random.uniform(ku, (b, m, 1))
     out = generate_with_gradients_pallas(0, eq, sol, tx, m, tile_b=8,
                                          mblk=8, u01=u01, noise_t=noise_t,
-                                         noise_i=noise_i)
+                                         noise_i=noise_i,
+                                         split_chains=split_chains)
     ref = (_reference_terminal(eq, tx, noise_t)
            + _reference_integral(eq, sol, tx, u01, noise_i))
     # the references each add the value-slot baseline once; the merged
