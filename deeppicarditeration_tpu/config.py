@@ -239,6 +239,10 @@ def default_cfg() -> Config:
     # (BASELINE.md "Fused Pallas estimator kernels"). Oversized nets
     # (e.g. 4x512 PISGradNet) stay on the XLA scan path automatically.
     c.DATA.TPU.PALLAS_GENERATE = "auto"
+    # Baseline K-step path rollouts: fused in-kernel-PRNG+cumsum Pallas
+    # path generator (ops/rollout.py). Off: closed-form XLA draw+cumsum
+    # (already scan-free; measured on-par — see rollout.py docstring).
+    c.DATA.TPU.PALLAS_ROLLOUT = False
 
     c.MESH = Config()
     c.MESH.AXES = ["data"]

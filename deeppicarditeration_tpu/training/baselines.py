@@ -116,7 +116,11 @@ def train_diffusion(runner, key):
     """K-step Euler rollout + BSDE martingale-residual loss.
 
     v_T ~ v_0 - sum f dt + sum <grad v, dX> (solution.py:601-616); the
-    rollout is a lax.scan (the reference's Python k-loop, :591-595)."""
+    rollout replaces the reference's Python k-loop (:591-595) with the
+    CLOSED-FORM Brownian path (one draw + cumsum, ops/rollout.py) —
+    exact for the drift-free transitions this framework supports."""
+    from deeppicarditeration_tpu.ops.rollout import brownian_paths
+
     cfg, eq = runner.cfg, runner.equation
     sol0 = init_solution(jax.random.fold_in(key, 0), cfg, eq,
                          module=runner.module)
@@ -125,22 +129,15 @@ def train_diffusion(runner, key):
     K = int(cfg.METHOD.K)
     dt = float(cfg.METHOD.dt)
     bs = int(cfg.TRAIN.BATCH_SIZE)
+    use_pallas = bool(cfg.DATA.TPU.PALLAS_ROLLOUT)
     tx_opt = optax.adam(1e-3)
 
     def rollout(k, t0, x0):
-        """(B, K+1) times/states via exact one-step Gaussian transitions,
-        with the tail-shrunk dt when t0 + K dt > T (solution.py:586-589)."""
+        """(K+1, B) times/states, with the tail-shrunk dt when
+        t0 + K dt > T (solution.py:586-589)."""
         dts = jnp.where(t0 + K * dt <= eq.T, dt, (eq.T - t0) / K)  # (B,1)
-
-        def body(carry, kk):
-            t, x = carry
-            t_next = t + dts
-            x_next, _ = eq.transition(jax.random.fold_in(k, kk), t, t_next, x)
-            return (t_next, x_next), (t_next, x_next)
-
-        (_, _), (ts, xs) = jax.lax.scan(body, (t0, x0), jnp.arange(K))
-        ts = jnp.concatenate([t0[None], ts], axis=0)  # (K+1, B, 1)
-        xs = jnp.concatenate([x0[None], xs], axis=0)
+        ts, xs, _ = brownian_paths(k, eq, t0, x0, dts, K,
+                                   use_pallas=use_pallas)
         return ts, xs, dts
 
     def loss_fn(params, k):
@@ -224,20 +221,17 @@ def train_dbdp(runner, key):
         return eq.g_x(x) + (eq.T - t_k) * g_mod.apply(params_k, x)
 
     def sample_paths(k):
-        """(B, K+1) Euler path + scaled increments (solution.py:744-760)."""
+        """(B, K+1) Euler path + scaled increments (solution.py:744-760)
+        via the closed-form Brownian path (ops/rollout.py)."""
+        from deeppicarditeration_tpu.ops.rollout import brownian_paths
+
         x = eq.sample_x0(jax.random.fold_in(k, 0), bs)
         t = jnp.zeros((bs, 1))
-
-        def body(carry, kk):
-            t, x = carry
-            t_next = t + dt
-            x_next, dW = eq.transition(jax.random.fold_in(k, 1 + kk), t,
-                                       t_next, x)
-            return (t_next, x_next), (x_next, dW * math.sqrt(dt))
-
-        (_, _), (xs, dWs) = jax.lax.scan(body, (t, x), jnp.arange(K))
-        xs = jnp.concatenate([x[None], xs], axis=0)  # (K+1, B, nx)
-        return xs, dWs  # dWs: (K, B, nx)
+        dts = jnp.full((bs, 1), dt, x.dtype)
+        _, xs, xi = brownian_paths(
+            jax.random.fold_in(k, 1), eq, t, x, dts, K,
+            use_pallas=bool(cfg.DATA.TPU.PALLAS_ROLLOUT))
+        return xs, xi * math.sqrt(dt)  # (K+1, B, nx), (K, B, nx)
 
     def one_step_loss(pair_prev, pair_next, t_prev, t_next, x, x_next, dW,
                       is_last):
