@@ -43,17 +43,136 @@ def grad_x_fn(sol: Solution):
     return g
 
 
+def _elementwise_d12(act, z):
+    """(act'(z), act''(z)) for an elementwise activation, via nested jvp
+    with a ones tangent (exact; no per-activation closed forms needed)."""
+
+    def d1(y):
+        return jax.jvp(act, (y,), (jnp.ones_like(y),))[1]
+
+    return jax.jvp(d1, (z,), (jnp.ones_like(z),))
+
+
+def mlp_hessian_diag(sol: Solution, t, x) -> jnp.ndarray:
+    """Exact FULL Hessian diagonal d^2 u / dx_i^2 of a plain-MLP value
+    head, (..., nx), via second-order backprop.
+
+    Propagates the per-sample preactivation Hessian G_k = d^2u/dz_k^2
+    down the layers (Pearlmutter-style):
+
+        G_{z_k} = s1_k G_{a_k} s1_k^T + diag(s2_k * delta_{a_k})
+        G_{a_{k-1}} = W_k G_{z_k} W_k^T,   delta_{a_{k-1}} = W_k delta_{z_k}
+
+    then diag(H_xx) = rowsum((W1x @ G_{z_1}) * W1x) with W1x the x-rows
+    of the first kernel. Same math as v=nx forward-over-reverse jvps but
+    ~10x less HBM traffic: intermediates are (R, w, w) G blocks contracted
+    on the MXU instead of (R, v, w) tangent chains through both the
+    forward and reverse graphs of the net. This is what makes the
+    SDGD/fully-nonlinear generation path (v ~ nx, data.py:1280-1292)
+    bandwidth-viable on TPU; the per-index jvp fallback below remains for
+    small v and non-MLP modules.
+    """
+    W1x, s1, curv, G = _mlp_second_order(sol, t, x)
+    if G is None:  # single hidden layer
+        diag = jnp.einsum("io,ro->ri", W1x ** 2, curv)
+    else:
+        Gz = s1[:, :, None] * G * s1[:, None, :]
+        diag = (jnp.einsum("io,rol,il->ri", W1x, Gz, W1x,
+                           optimize="greedy")
+                + jnp.einsum("io,ro->ri", W1x ** 2, curv))
+    return diag.reshape(x.shape[:-1] + (x.shape[-1],))
+
+
+def _mlp_second_order(sol: Solution, t, x):
+    """Shared second-order-backprop chain for a plain-MLP value head.
+
+    Returns (W1x, s1_0, curv_0, G_{a_0}) at the first-hidden-layer
+    boundary, from which diag(H) / full H are cheap contractions:
+    G_{z_0} = s1_0 G_{a_0} s1_0^T + diag(curv_0), H = W1x G_{z_0} W1x^T.
+    G_{a_0} is None when the net has a single hidden layer (exactly 0).
+    """
+    from deeppicarditeration_tpu.models.networks import MLP, get_activation
+
+    module: MLP = sol.module
+    params = sol.params["params"]
+    kernels = [params[f"Dense_{i}"]["kernel"]
+               for i in range(len(module.neurons) + 1)]
+    biases = [params[f"Dense_{i}"]["bias"]
+              for i in range(len(module.neurons) + 1)]
+    nx = x.shape[-1]
+    xf = x.reshape(-1, nx)
+    tf = jnp.broadcast_to(t, x.shape[:-1] + (1,)).reshape(-1, 1)
+    h = jnp.concatenate([tf, xf], axis=-1)
+
+    # forward pass, stashing preactivations
+    zs = []
+    for W, b, act in zip(kernels[:-1], biases[:-1], module.activations):
+        z = h @ W + b
+        zs.append(z)
+        h = get_activation(act)(z)
+    y = h @ kernels[-1] + biases[-1]
+
+    # value-head backward seed; an active bound clamp gates it (clip has
+    # zero curvature and indicator slope)
+    wv = kernels[-1][:, 0]  # (w_L,)
+    delta = jnp.broadcast_to(wv, h.shape)
+    if module.bound is not None:
+        ind = (jnp.abs(y[..., 0:1]) < module.bound).astype(x.dtype)
+        delta = delta * ind
+
+    G = None  # d^2u/da_k^2 at the top is exactly zero (linear head)
+    for W, z, act in zip(kernels[-2:0:-1], zs[::-1][:-1],
+                         module.activations[::-1][:-1]):
+        # layers L-1 .. 2: gather G_z, push through the affine layer
+        s1, s2 = _elementwise_d12(get_activation(act), z)
+        curv = s2 * delta
+        # the diag(curv) term is contracted directly (never materialized)
+        Ga = jnp.einsum("io,ro,jo->rij", W, curv, W, optimize="greedy")
+        if G is not None:
+            Gz = s1[:, :, None] * G * s1[:, None, :]
+            Ga = Ga + jnp.einsum("io,rol,jl->rij", W, Gz, W,
+                                 optimize="greedy")
+        delta = (s1 * delta) @ W.T
+        G = Ga
+
+    act0 = get_activation(module.activations[0])
+    s1, s2 = _elementwise_d12(act0, zs[0])
+    curv = s2 * delta
+    W1x = kernels[0][1:, :]  # drop the t row
+    return W1x, s1, curv, G
+
+
+def _mlp_fast_path(sol: Solution) -> bool:
+    from deeppicarditeration_tpu.models.networks import MLP
+    from deeppicarditeration_tpu.models.solution import ONLY_GRADIENT
+
+    # OnlyGradient nets have an identically-zero VALUE head (the generic
+    # path returns zeros through sol.value); the fast path would wrongly
+    # differentiate output column 0 of the gradient net.
+    return (sol.kind == "net" and isinstance(sol.module, MLP)
+            and sol.net_type != ONLY_GRADIENT
+            and len(sol.module.neurons) >= 1)
+
+
 def diag_hessian_entries(sol: Solution, t, x, indices) -> jnp.ndarray:
     """Sampled diagonal Hessian entries d^2 u / dx_i^2 of the value head.
 
     t: (..., 1), x: (..., nx), indices: (..., v) int32 -> (..., v).
-    Forward-over-reverse: for each sampled index i, jvp of the per-sample
-    gradient along e_i, reading component i. Replaces the reference's
-    Python loop over v with autograd.grad (data.py:1280-1292).
+
+    Plain-MLP solutions with wide index sets take the second-order-
+    backprop full diagonal (mlp_hessian_diag) and gather the sampled
+    indices — identical estimator distribution, far less HBM traffic.
+    Otherwise: forward-over-reverse per sampled index i (jvp of the
+    per-sample gradient along e_i, reading component i), replacing the
+    reference's Python loop over v (data.py:1280-1292).
     """
     if sol.kind == "zero":
         return jnp.zeros(indices.shape, x.dtype)
     nx = x.shape[-1]
+    v = indices.shape[-1]
+    if _mlp_fast_path(sol) and 4 * v >= min(sol.module.neurons):
+        diag = mlp_hessian_diag(sol, t, x)
+        return jnp.take_along_axis(diag, indices, axis=-1)
     u_fn = _value_fn(sol)
 
     def per_sample(t1, x1, idx1):
@@ -75,10 +194,23 @@ def diag_hessian_entries(sol: Solution, t, x, indices) -> jnp.ndarray:
 
 
 def full_hessian(sol: Solution, t, x) -> jnp.ndarray:
-    """Per-sample (nx, nx) Hessian of the value head: (..., nx, nx)."""
+    """Per-sample (nx, nx) Hessian of the value head: (..., nx, nx).
+
+    Plain-MLP solutions use the shared second-order-backprop chain
+    (H = W1x G_{z_0} W1x^T — two batched MXU contractions per sample
+    instead of nx reverse-over-forward passes); others fall back to
+    vmap(jax.hessian)."""
     nx = x.shape[-1]
     if sol.kind == "zero":
         return jnp.zeros(x.shape[:-1] + (nx, nx), x.dtype)
+    if _mlp_fast_path(sol):
+        W1x, s1, curv, G = _mlp_second_order(sol, t, x)
+        H = jnp.einsum("io,ro,jo->rij", W1x, curv, W1x, optimize="greedy")
+        if G is not None:
+            Gz = s1[:, :, None] * G * s1[:, None, :]
+            H = H + jnp.einsum("io,rol,jl->rij", W1x, Gz, W1x,
+                               optimize="greedy")
+        return H.reshape(x.shape[:-1] + (nx, nx))
     u_fn = _value_fn(sol)
 
     def per_sample(t1, x1):

@@ -214,6 +214,66 @@ def test_diag_hessian_entries_match_full(key):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("neurons,acts,out_dim,bound", [
+    ((64, 64, 64), ("ELU",) * 3, 1, None),
+    ((32, 16), ("Tanh", "Sin"), 1, None),
+    ((8,), ("Sigmoid",), 1, None),
+    ((24, 24), ("Softplus", "ELU"), 6, None),
+    ((16, 16), ("Tanh", "Tanh"), 1, 50.0),
+])
+def test_mlp_hessian_diag_matches_generic(key, neurons, acts, out_dim,
+                                          bound):
+    """Second-order-backprop full diagonal (the SDGD fast path) == the
+    per-index forward-over-reverse fallback, across depths, activations,
+    multi-output heads, and the bound clamp."""
+    from deeppicarditeration_tpu.models.networks import MLP
+    from deeppicarditeration_tpu.ops.derivatives import mlp_hessian_diag
+
+    nx, b = 5, 16
+    module = MLP(neurons=neurons, activations=acts, out_dim=out_dim,
+                 bound=bound)
+    params = module.init(key, jnp.zeros((1, 1 + nx)))
+    net_type = "Value" if out_dim == 1 else "ValueGradient"
+    sol = Solution.from_net(module, params, net_type, nx)
+    t = jax.random.uniform(jax.random.fold_in(key, 1), (b, 1))
+    x = jax.random.normal(jax.random.fold_in(key, 2), (b, nx))
+    fast = mlp_hessian_diag(sol, t, x)
+
+    # independent reference: raw per-sample jax.hessian (NOT full_hessian,
+    # which itself dispatches to the same second-order-backprop chain)
+    def per_sample(t1, x1):
+        def u_scalar(xx):
+            tx1 = jnp.concatenate([t1, xx])[None, :]
+            return sol(tx1)[0, 0]
+
+        return jax.hessian(u_scalar)(x1)
+
+    H = jax.vmap(per_sample)(t, x)
+    ref = jnp.diagonal(H, axis1=-2, axis2=-1)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(full_hessian(sol, t, x)),
+                               np.asarray(H), rtol=2e-4, atol=1e-5)
+    # the dispatcher must gather the same entries at sampled indices
+    idx = jax.random.randint(jax.random.fold_in(key, 3), (b, nx), 0, nx)
+    diag = diag_hessian_entries(sol, t, x, idx.astype(jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(diag),
+        np.asarray(jnp.take_along_axis(ref, idx, axis=-1)),
+        rtol=2e-4, atol=1e-5)
+
+
+def test_diag_hessian_only_gradient_net_is_zero(key):
+    """OnlyGradient nets have a zero value head — the MLP fast path must
+    not engage (it would differentiate output column 0 of the grad net)."""
+    sol = _mlp_solution(key, 4, "OnlyGradient")
+    t = jnp.full((3, 1), 0.3)
+    x = jax.random.normal(jax.random.fold_in(key, 5), (3, 4))
+    idx = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32), (3, 4))
+    diag = diag_hessian_entries(sol, t, x, idx)
+    np.testing.assert_array_equal(np.asarray(diag), 0.0)
+
+
 def test_hutchinson_unbiased(key):
     nx = 4
     sol = _mlp_solution(key, nx, "Value")
