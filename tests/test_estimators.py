@@ -263,6 +263,53 @@ def test_mlp_hessian_diag_matches_generic(key, neurons, acts, out_dim,
         rtol=2e-4, atol=1e-5)
 
 
+def test_sdgd_counts_path_matches_gather(key):
+    """The gather-free SDGD path (multiplicity counts against the exact
+    diagonal) == gathering the sampled entries, for get_f and for the
+    per-sample baseline."""
+    from deeppicarditeration_tpu.equations import make_equation
+    from deeppicarditeration_tpu.ops.derivatives import (
+        get_f,
+        mlp_hessian_diag,
+        sdgd_index_counts,
+    )
+    from deeppicarditeration_tpu.ops.estimators import (
+        _baseline_f_at_indices,
+    )
+
+    nx, b, mc, v = 6, 8, 3, 4
+    eq = make_equation("GBMEquationComplexExact", nx=nx, alpha=1.0, T=1.0)
+    sol = _mlp_solution(key, nx, "Value")
+    s = jax.random.uniform(jax.random.fold_in(key, 1), (b, 1))
+    x = jax.random.normal(jax.random.fold_in(key, 2), (b, nx))
+    idx = jax.random.randint(jax.random.fold_in(key, 3), (b, v), 0, nx,
+                             dtype=jnp.int32)
+    # counts are exact multiplicities
+    c = sdgd_index_counts(idx, nx)
+    assert np.all(np.asarray(jnp.sum(c, -1)) == v)
+    f_fast = get_f(eq, sol, s, x, hess_indices=idx)
+    diag = mlp_hessian_diag(sol, s, x)
+    u_ii = jnp.take_along_axis(diag, idx, axis=-1)
+    u = sol.value(jnp.concatenate([s, x], axis=-1))
+    f_ref = eq.ffi(s, x, u, u_ii)
+    np.testing.assert_allclose(np.asarray(f_fast), np.asarray(f_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # baseline: (B, mc, v) indices against the precomputed diagonal d0
+    idx3 = jax.random.randint(jax.random.fold_in(key, 4), (b, mc, v), 0,
+                              nx, dtype=jnp.int32)
+    d0 = mlp_hessian_diag(sol, s, x)
+    f0_fast = _baseline_f_at_indices(eq, sol, s, x, d0, idx3)
+    u_ii0 = jnp.take_along_axis(
+        jnp.broadcast_to(d0[:, None, :], (b, mc, nx)), idx3, axis=-1)
+    f0_ref = eq.ffi(
+        jnp.broadcast_to(s[:, None, :], (b, mc, 1)),
+        jnp.broadcast_to(x[:, None, :], (b, mc, nx)),
+        jnp.broadcast_to(u[:, None, :], (b, mc, 1)), u_ii0)
+    np.testing.assert_allclose(np.asarray(f0_fast), np.asarray(f0_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_diag_hessian_only_gradient_net_is_zero(key):
     """OnlyGradient nets have a zero value head — the MLP fast path must
     not engage (it would differentiate output column 0 of the grad net)."""
