@@ -501,19 +501,20 @@ def estimate_terminal_with_gradients_td_bygx(key, eq, sol: Solution, tx,
 # ---------------------------------------------------------------------------
 
 def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
-    """Resolve the pallas_generate tri-state (False / True / "auto") to a
-    batch tile for the merged kernel, or None for the XLA path.
+    """Resolve the pallas_generate tri-state (False / True / "auto") to
+    a (batch tile, split_chains) pair for the merged kernel, or None for
+    the XLA path.
 
     "auto" takes the merged kernel only on the real TPU backend (the CPU
     Pallas interpreter stubs the hardware PRNG to zeros), only on a
     single device (a pallas_call has no SPMD partitioning rule, so under
     a multi-chip pjit it would compute replicated — the XLA scan path
     shards cleanly there), and only at the largest tile whose working
-    set fits the VMEM budget (wide nets get smaller tiles; see
-    pallas_kernels.pick_generate_tile)."""
+    set fits the VMEM budget (wide nets get smaller tiles or the
+    split_chains upgrade; see pallas_kernels.pick_generate_tile)."""
     mode = gen.pallas_generate
     if mode is True:
-        return 128
+        return 128, False
     if mode == "auto":
         if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
             return None
@@ -537,8 +538,8 @@ def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
             and gen.n_estimate_terminal == gen.n_estimate_integral
             and eq.has_gradient_term and not eq.has_hessian_term
             and not eq.has_laplacian_term):
-        tile = _pallas_generate_tile(gen, eq, sol, tx.shape[0])
-        if tile is not None:
+        tile_spec = _pallas_generate_tile(gen, eq, sol, tx.shape[0])
+        if tile_spec is not None:
             from deeppicarditeration_tpu.ops.pallas_kernels import (
                 generate_with_gradients_pallas,
                 seed_from_key,
@@ -549,10 +550,12 @@ def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
             # equivalent to the PRECISION.MATMUL: highest policy; Mosaic
             # cannot lower precision=HIGH natively). See
             # pallas_kernels.bf16x3_dot_general.
+            tile, split = tile_spec
             return generate_with_gradients_pallas(
                 seed_from_key(key, 2), eq, sol, tx,
                 gen.n_estimate_terminal, tile_b=tile,
-                antithetic=gen.antithetic, mxu_precision="bf16x3")
+                antithetic=gen.antithetic, mxu_precision="bf16x3",
+                split_chains=split)
     if gen.estimate_delta_t > 0:
         if sol.output_dim == 1:
             g = estimate_terminal_with_gradients_td(k1, eq, sol, tx, gen)

@@ -272,14 +272,31 @@ def generate_fits_vmem(eq, sol, nx: int, tile_b: int = 128,
     return generate_vmem_bytes(eq, sol, nx, tile_b, mblk) <= _VMEM_BUDGET_BYTES
 
 
+# Wide nets that bottom out at tile 16 can take tile 32 with the
+# split_chains layout (the terminal chain's buffers retire before the
+# integral chain's liveness peak): measured on the 4x512 PISGradNet,
+# tile-32 split compiles at a 16.7 MB static estimate (merged tile 32
+# does not) and runs 1.599 s vs 1.689 s at tile 16 (5.6% win,
+# scripts/probe_hjb_tiles.py). The relaxed budget gates how far past
+# the merged budget the split upgrade may reach.
+_VMEM_SPLIT_BUDGET_BYTES = 17 * 2 ** 20
+
+
 def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8):
-    """Largest batch tile (<= 128, dividing b) whose estimated working set
-    fits the VMEM budget, or None. Small nets (4x128 MLP) get tile 128;
-    wide nets (4x512 PISGradNet, ~5400 summed matmul widths) only fit at
-    tile 16 — still 128 MXU rows per inner block at mblk=8."""
+    """(tile, split_chains) for the merged kernel, or None for XLA.
+
+    Largest batch tile (<= 128, dividing b) whose estimated working set
+    fits the VMEM budget. Small nets (4x128 MLP) get tile 128 merged;
+    wide nets (4x512 PISGradNet, ~5400 summed matmul widths) that only
+    fit merged at tile 16 are upgraded to tile-32 split_chains when the
+    relaxed split budget admits it (measured faster; see above)."""
     for tile in (128, 64, 32, 16):
         if b % tile == 0 and generate_fits_vmem(eq, sol, nx, tile, mblk):
-            return tile
+            if (tile == 16 and b % 32 == 0
+                    and generate_vmem_bytes(eq, sol, nx, 32, mblk)
+                    <= _VMEM_SPLIT_BUDGET_BYTES):
+                return 32, True
+            return tile, False
     return None
 
 

@@ -283,11 +283,11 @@ def test_use_pallas_generate_tri_state():
     sol = _mlp_solution(nx, (8, 8))
     on_tpu = (jax.default_backend() == "tpu" and len(jax.devices()) == 1)
     mk = lambda mode: est.GenConfig(pallas_generate=mode)
-    assert est._pallas_generate_tile(mk(True), eq, sol, 256) == 128
+    assert est._pallas_generate_tile(mk(True), eq, sol, 256) == (128, False)
     assert est._pallas_generate_tile(mk(False), eq, sol, 256) is None
     # "auto" requires the real single-device TPU backend
-    tile = est._pallas_generate_tile(mk("auto"), eq, sol, 256)
-    assert (tile == 128) is on_tpu and (tile is None) is not on_tpu
+    spec = est._pallas_generate_tile(mk("auto"), eq, sol, 256)
+    assert (spec == (128, False)) is on_tpu and (spec is None) is not on_tpu
 
 
 def test_pick_generate_tile_by_net_size():
@@ -297,7 +297,7 @@ def test_pick_generate_tile_by_net_size():
     nx = 100
     eq = make_equation("Cha", nx=nx, alpha=1.0, k=5.0, T=1.0)
     small = _mlp_solution(nx, (128, 128, 128, 128))
-    assert pick_generate_tile(eq, small, nx, 4096) == 128
+    assert pick_generate_tile(eq, small, nx, 4096) == (128, False)
 
     eq_hjb = make_equation("OUProcessEquation", seed=0, nx=nx, alpha=1.0,
                            T=1.0)
@@ -305,8 +305,10 @@ def test_pick_generate_tile_by_net_size():
                          g0=eq_hjb.g, T=1.0)
     big_params = big_mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
     big = Solution.from_net(big_mod, big_params, "ValueGradient", nx)
-    t = pick_generate_tile(eq_hjb, big, nx, 4096)
-    assert t is not None and t < 128  # fits only at a reduced tile
+    spec = pick_generate_tile(eq_hjb, big, nx, 4096)
+    # wide net: reduced tile, upgraded to tile-32 split_chains (measured
+    # 5.6% over merged tile 16; probe_hjb_tiles.py)
+    assert spec == (32, True)
 
 
 def test_tri_state_config_parse():
