@@ -218,6 +218,14 @@ def _baseline_f(eq, sol: Solution, t, x, key, gen: GenConfig):
     (data.py:1276-1302), so f0 is then recomputed per-sample in-chunk.
     """
     if eq.has_hessian_term and gen.sdgd_v:
+        from deeppicarditeration_tpu.ops.derivatives import (
+            _mlp_fast_path,
+            mlp_hessian_diag,
+        )
+
+        if _mlp_fast_path(sol):
+            # the full diagonal directly — no identity-index gather
+            return None, mlp_hessian_diag(sol, t, x)
         full_idx = jnp.broadcast_to(jnp.arange(x.shape[-1], dtype=jnp.int32),
                                     x.shape)
         d0 = diag_hessian_entries(sol, t, x, full_idx)

@@ -278,8 +278,14 @@ def generate_fits_vmem(eq, sol, nx: int, tile_b: int = 128,
 # tile-32 split compiles at a 16.7 MB static estimate (merged tile 32
 # does not) and runs 1.599 s vs 1.689 s at tile 16 (5.6% win,
 # scripts/probe_hjb_tiles.py). The relaxed budget gates how far past
-# the merged budget the split upgrade may reach.
+# the merged budget the split upgrade may reach; split only retires
+# TRANSIENT buffers, so the upgrade additionally requires resident
+# weights to leave at least the validated case's transient headroom —
+# an unvalidated weight-heavy net keeps the safe tile 16 rather than
+# risking a Mosaic allocation failure (there is no compile-time
+# fallback once the kernel is chosen).
 _VMEM_SPLIT_BUDGET_BYTES = 17 * 2 ** 20
+_VMEM_SPLIT_MAX_PARAM_BYTES = 8 * 2 ** 20
 
 
 def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8):
@@ -292,10 +298,13 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8):
     relaxed split budget admits it (measured faster; see above)."""
     for tile in (128, 64, 32, 16):
         if b % tile == 0 and generate_fits_vmem(eq, sol, nx, tile, mblk):
-            if (tile == 16 and b % 32 == 0
-                    and generate_vmem_bytes(eq, sol, nx, 32, mblk)
-                    <= _VMEM_SPLIT_BUDGET_BYTES):
-                return 32, True
+            if tile == 16 and b % 32 == 0:
+                cap_arrs, _, _ = _flatten_captured((eq, sol.params))
+                params_bytes = sum(int(a.size) * 4 for a in cap_arrs)
+                if (generate_vmem_bytes(eq, sol, nx, 32, mblk)
+                        <= _VMEM_SPLIT_BUDGET_BYTES
+                        and params_bytes <= _VMEM_SPLIT_MAX_PARAM_BYTES):
+                    return 32, True
             return tile, False
     return None
 

@@ -44,8 +44,25 @@ from deeppicarditeration_tpu.ops.pallas_kernels import (
 )
 
 
+def _uses_base_transition(eq) -> bool:
+    """True iff eq inherits the drift-free base-class transition the
+    closed form assumes (x -> x + sqrt(s-t) sqrt(a) dW)."""
+    from deeppicarditeration_tpu.equations.base import EquationMethods
+
+    return type(eq).transition is EquationMethods.transition
+
+
+def _closed_form_paths(key, eq, x0, dts, K: int):
+    """One (K, B, nx) draw + cumsum: the exact drift-free path."""
+    xi = jax.random.normal(key, (K,) + x0.shape, x0.dtype)
+    steps = jnp.sqrt(dts)[None] * jnp.asarray(eq.alpha_sqrt, x0.dtype) * xi
+    xs = jnp.concatenate([x0[None], x0[None] + jnp.cumsum(steps, 0)],
+                         axis=0)
+    return xs, xi
+
+
 def brownian_paths(key, eq, t0, x0, dts, K: int, use_pallas: bool = False):
-    """Exact K-step Brownian path from (t0, x0) with per-sample step dts.
+    """Exact K-step path from (t0, x0) with per-sample step dts.
 
     Args:
       t0: (B, 1) start times; x0: (B, nx) start states; dts: (B, 1).
@@ -53,17 +70,28 @@ def brownian_paths(key, eq, t0, x0, dts, K: int, use_pallas: bool = False):
       ts: (K+1, B, 1) grid times, xs: (K+1, B, nx) path states,
       xi: (K, B, nx) the standardized N(0, I) increments (the reference's
       per-step dW, solution.py:744-760 — DBDP consumes them directly).
+
+    Equations that OVERRIDE the base-class transition (drift or
+    state-dependent diffusion) fall back to a sequential lax.scan through
+    their own law — the closed form is only exact for the drift-free
+    base transition.
     """
     ks = jnp.arange(K + 1, dtype=t0.dtype)
     ts = t0[None] + dts[None] * ks[:, None, None]
+    if not _uses_base_transition(eq):
+        def body(carry, k_):
+            t, x = carry
+            t_next = t + dts
+            x_next, dW = eq.transition(jax.random.fold_in(key, k_), t,
+                                       t_next, x)
+            return (t_next, x_next), (x_next, dW)
+
+        (_, _), (xs_tail, xi) = jax.lax.scan(body, (t0, x0), jnp.arange(K))
+        return ts, jnp.concatenate([x0[None], xs_tail], axis=0), xi
     if use_pallas:
         xs, xi = _paths_pallas(key, eq, x0, dts, K)
     else:
-        xi = jax.random.normal(key, (K,) + x0.shape, x0.dtype)
-        steps = jnp.sqrt(dts)[None] * jnp.asarray(eq.alpha_sqrt,
-                                                  x0.dtype) * xi
-        xs = jnp.concatenate([x0[None], x0[None] + jnp.cumsum(steps, 0)],
-                             axis=0)
+        xs, xi = _closed_form_paths(key, eq, x0, dts, K)
     return ts, xs, xi
 
 
@@ -97,24 +125,26 @@ def _paths_pallas(key, eq, x0, dts, K: int, tile_b: int | None = None,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if interpret:
-        xi = jax.random.normal(key, (K,) + x0.shape, x0.dtype)
-        steps = jnp.sqrt(dts)[None] * jnp.asarray(eq.alpha_sqrt,
-                                                  x0.dtype) * xi
-        xs = jnp.concatenate([x0[None], x0[None] + jnp.cumsum(steps, 0)],
-                             axis=0)
-        return xs, xi
+    if interpret or len(jax.devices()) != 1:
+        # CPU interpreter stubs the PRNG; and a pallas_call has no SPMD
+        # partitioning rule, so under a multi-chip pjit it would compute
+        # replicated — the closed form shards cleanly in both cases.
+        return _closed_form_paths(key, eq, x0, dts, K)
     b, nx = x0.shape
     nx_pad = _round_up(nx, LANE)
     if tile_b is None:
         # both whole-K outputs live in VMEM per tile (double-buffered):
         # (2K+1) * tile * nx_pad * 4 bytes, gated well under the ~16 MB
-        # budget. K=50, nx_pad=128 -> tile 128.
+        # budget. K=50, nx_pad=128 -> cap 112; the divisor walk below
+        # then lands on the largest divisor of B not above it (the
+        # recorded 1.14 ms/epoch A/B ran at tile 64 for B=512).
         budget = 6 * 2 ** 20
         tile_b = max(8, budget // ((2 * K + 1) * nx_pad * 4) // 8 * 8)
     tile = min(tile_b, b)
     while b % tile:
         tile -= 1
+    if tile < 8:  # degenerate grid (e.g. prime B): kernel not worth it
+        return _closed_form_paths(key, eq, x0, dts, K)
     x0_pad = jnp.pad(x0, ((0, 0), (0, nx_pad - nx)))
     kernel = functools.partial(_paths_kernel,
                                alpha_sqrt=float(eq.alpha_sqrt), K=K,

@@ -44,6 +44,28 @@ def test_paths_exact_increment_relation(key, use_pallas):
     np.testing.assert_allclose(np.asarray(xs[0]), np.asarray(x0))
 
 
+def test_paths_fallback_for_overridden_transition(key):
+    """An equation that overrides transition (drift) must NOT take the
+    drift-free closed form: brownian_paths falls back to a sequential
+    scan through the equation's own law."""
+    eq, t0, x0 = _setup(key, b=8, nx=3)
+
+    class Drifted(type(eq)):
+        def transition(self, k, t, s, x):
+            dW = jax.random.normal(k, x.shape, x.dtype)
+            return x + (s - t) * 1.5 + jnp.sqrt(s - t) * dW, dW
+
+    eq2 = Drifted(**{f.name: getattr(eq, f.name)
+                     for f in eq.__dataclass_fields__.values()})
+    K = 4
+    dts = jnp.full_like(t0, 0.1)
+    _, xs, _ = brownian_paths(jax.random.fold_in(key, 9), eq2, t0, x0,
+                              dts, K)
+    # the drift must show up: E[x_K - x_0] = K * dt * 1.5
+    drift = np.asarray(jnp.mean(xs[-1] - xs[0]))
+    assert abs(drift - K * 0.1 * 1.5) < 0.25, drift
+
+
 def test_paths_match_scan_law(key):
     """Terminal-state distribution equals the sequential scan's (same law,
     different stream): X_K ~ N(x0, alpha * K * dt * I). CLT-bounded
