@@ -4,6 +4,7 @@ from deeppicarditeration_tpu.equations.base import (
     EquationMethods,
     SimpleDiffusionMethods,
     SimpleDiffusionWithHessian,
+    SimpleDiffusionWithLaplacian,
     SimpleDiffusionWithZ,
     SimpleDiffusionWithoutZ,
     get_equation_cls,
@@ -19,6 +20,7 @@ __all__ = [
     "SimpleDiffusionMethods",
     "SimpleDiffusionWithZ",
     "SimpleDiffusionWithoutZ",
+    "SimpleDiffusionWithLaplacian",
     "SimpleDiffusionWithHessian",
     "register_equation",
     "get_equation_cls",

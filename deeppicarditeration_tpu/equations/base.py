@@ -213,6 +213,14 @@ class SimpleDiffusionWithZ(SimpleDiffusionMethods):
     has_gradient_term = True
 
 
+class SimpleDiffusionWithLaplacian(SimpleDiffusionMethods):
+    """ff depends on the Laplacian via ``ffl`` (equations.py:341-356);
+    estimated by Hutchinson probes (num_v_samples) or the exact loop."""
+
+    has_gradient_term = True
+    has_laplacian_term = True
+
+
 class SimpleDiffusionWithHessian(SimpleDiffusionMethods):
     """ff depends on the Hessian (equations.py:359-385)."""
 

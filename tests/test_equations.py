@@ -173,3 +173,61 @@ def test_equation_is_pytree(eq):
     x = jnp.zeros((2, eq.nx))
     np.testing.assert_allclose(np.asarray(f(eq, x)), np.asarray(eq.g(x)),
                                rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# SimpleDiffusionWithLaplacian mixin -> get_f ffl dispatch
+# ---------------------------------------------------------------------------
+def test_laplacian_mixin_get_f_exact_and_hutchinson(key):
+    """A WithLaplacian equation routes through get_f's ffl branch: exact
+    Laplacian when num_v_samples <= 0, Hutchinson otherwise (reference
+    dispatch parity: data.py:1304-1314)."""
+    from flax import struct
+
+    from deeppicarditeration_tpu.equations.base import (
+        SimpleDiffusionWithLaplacian,
+    )
+    from deeppicarditeration_tpu.models.networks import MLP
+    from deeppicarditeration_tpu.models.solution import Solution
+    from deeppicarditeration_tpu.ops.derivatives import (
+        exact_laplacian,
+        get_f,
+    )
+
+    @struct.dataclass
+    class LapToy(SimpleDiffusionWithLaplacian):
+        nx: int = struct.field(pytree_node=False, default=4)
+        T: float = struct.field(pytree_node=False, default=1.0)
+        alpha: float = struct.field(pytree_node=False, default=1.0)
+        num_v_samples: int = struct.field(pytree_node=False, default=0)
+
+        def g(self, x):
+            return jnp.sum(x * x, axis=-1, keepdims=True)
+
+        def ffl(self, t, x, y, w, lap):
+            return y + 0.5 * self.alpha * lap + jnp.sum(
+                w, axis=-1, keepdims=True)
+
+    nx = 4
+    assert LapToy.has_laplacian_term and LapToy.has_gradient_term
+    mod = MLP(neurons=(16, 16), activations=("Tanh", "Tanh"), out_dim=1)
+    params = mod.init(key, jnp.zeros((1, 1 + nx)))
+    sol = Solution.from_net(mod, params, "Value", nx)
+    kt, kx, kh = jax.random.split(key, 3)
+    t = jax.random.uniform(kt, (32, 1))
+    x = jax.random.normal(kx, (32, nx))
+
+    # exact-Laplacian path (num_v_samples = 0)
+    eq = LapToy(nx=nx)
+    f_exact = get_f(eq, sol, t, x)
+    u, u_x = sol.value_and_grad_x(t, x)
+    want = u + 0.5 * exact_laplacian(sol, t, x) + jnp.sum(
+        u_x, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(f_exact), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    # Hutchinson path converges to the exact one
+    eq_h = LapToy(nx=nx, num_v_samples=1024)
+    f_hutch = get_f(eq_h, sol, t, x, hutchinson_key=kh)
+    err = np.abs(np.asarray(f_hutch) - np.asarray(f_exact))
+    assert err.mean() < 0.05 * (np.abs(np.asarray(f_exact)).mean() + 1.0)
