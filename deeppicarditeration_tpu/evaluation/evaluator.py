@@ -145,13 +145,17 @@ def monte_carlo_at_sharded(key, eq, sol: Solution, gen: est.GenConfig,
     per point, so splitting the M samples across devices and averaging is
     mathematically exact (survey §5.7: the TPU-native analogue of sequence
     scaling). Each point is replicated n_dev times with an independent key
-    and m/n_dev samples per replica; the replica rows shard over the
-    'data' axis, XLA reduces the final mean. Statistically identical (not
-    bitwise) to the single-device estimate.
+    and m/n_dev samples per replica; the replica rows shard over ALL mesh
+    axes (on a ('data', 'mc') mesh the M axis genuinely splits over 'mc'),
+    XLA reduces the final mean. Statistically identical (not bitwise) to
+    the single-device estimate.
     """
-    from deeppicarditeration_tpu.parallel.mesh import data_sharding, make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec
+    from deeppicarditeration_tpu.parallel.mesh import make_mesh
 
     mesh = mesh or make_mesh()
+    rows_sharding = NamedSharding(mesh,
+                                  PartitionSpec(tuple(mesh.axis_names)))
     n_dev = int(np_prod(mesh.devices.shape))
     if t is None:
         t = jnp.zeros((x.shape[0], 1), x.dtype)
@@ -166,7 +170,7 @@ def monte_carlo_at_sharded(key, eq, sol: Solution, gen: est.GenConfig,
     t_r = jnp.repeat(t, n_dev, axis=0)
     x_r = jnp.repeat(x, n_dev, axis=0)
     tx = jnp.concatenate([t_r, x_r], axis=-1)
-    tx = jax.device_put(tx, data_sharding(mesh))
+    tx = jax.device_put(tx, rows_sharding)
 
     @jax.jit
     def run(k, e, s, tx_in):

@@ -130,3 +130,31 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_mc_axis_sharded_on_two_axis_mesh(key):
+    """Same evaluator on an explicit ('data', 'mc') 4x2 mesh: the replica
+    rows shard over BOTH axes (the 'mc' axis genuinely splits the M
+    samples) and the estimate still matches the exact solution."""
+    import jax.numpy as jnp
+    import numpy as np_
+
+    from deeppicarditeration_tpu.equations import make_equation
+    from deeppicarditeration_tpu.evaluation.evaluator import (
+        monte_carlo_at_sharded,
+    )
+    from deeppicarditeration_tpu.models.solution import Solution
+    from deeppicarditeration_tpu.ops import estimators as est
+    from deeppicarditeration_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(shape=(4, 2), axes=("data", "mc"))
+    eq = make_equation("Cha", nx=4, alpha=1.0, k=1.0, T=1.0)
+    sol = Solution.oracle(eq)
+    gen = est.GenConfig(n_estimate_terminal=4096, n_estimate_integral=4096,
+                        chunk_elems=2 ** 18)
+    x0 = jnp.zeros((2, eq.nx))
+    u = monte_carlo_at_sharded(jax.random.fold_in(key, 1), eq, sol, gen,
+                               x0, mesh=mesh)
+    exact = eq.exact_solution(jnp.zeros((2, 1)), x0)
+    np_.testing.assert_allclose(np_.asarray(u), np_.asarray(exact),
+                                atol=0.05)
