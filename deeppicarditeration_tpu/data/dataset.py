@@ -68,6 +68,8 @@ def generate_dataset(key, eq, sol: Solution, n_total: int,
         ys.append(y[:take])
         n_done += take
         ck += 1
+    if len(txs) == 1:  # typical case: one dispatch, no copy
+        return DeviceDataset(tx=txs[0], y=ys[0])
     return DeviceDataset(tx=jnp.concatenate(txs), y=jnp.concatenate(ys))
 
 

@@ -49,10 +49,23 @@ def build_network(cfg, eq):
     return inner
 
 
+_INIT_CACHE: dict = {}
+
+
 def init_solution(key, cfg, eq, module=None) -> Solution:
-    """Initialize parameters and wrap as a Solution."""
+    """Initialize parameters and wrap as a Solution.
+
+    The init is jitted and cached per (module, input dim): the Picard
+    loop re-initializes a fresh network EVERY iteration
+    (picard_iteration.py:241-247), and an eager flax init measured
+    ~265 ms/call through the remote-TPU tunnel."""
     module = module if module is not None else build_network(cfg, eq)
-    params = module.init(key, jnp.zeros((1, 1 + eq.nx)))
+    ck = (module, eq.nx)
+    init = _INIT_CACHE.get(ck)
+    if init is None:
+        init = _INIT_CACHE[ck] = jax.jit(
+            lambda k: module.init(k, jnp.zeros((1, 1 + eq.nx))))
+    params = init(key)
     return Solution.from_net(module, params, cfg.NETWORK.TYPE, eq.nx)
 
 

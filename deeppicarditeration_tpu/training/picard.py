@@ -59,6 +59,16 @@ from deeppicarditeration_tpu.utils.progress import PicardProgress
 import optax
 
 
+def _fetch_metrics(metrics) -> dict:
+    """Dict of device scalars -> dict of floats in ONE host readback
+    (per-scalar float() each pays the remote-tunnel round trip)."""
+    if not metrics:
+        return {}
+    keys = list(metrics)
+    vals = jax.device_get(jnp.stack([metrics[k] for k in keys]))
+    return {k: float(v) for k, v in zip(keys, vals)}
+
+
 def _tri_state(v):
     """Parse a false/true/"auto" config value (YAML bool or string)."""
     if isinstance(v, str):
@@ -176,6 +186,7 @@ class PicardRunner:
         that iteration i+1 generates targets from exactly the network a
         continuous run would have used. The reference has no resume at all;
         its granularity would anyway be the Picard iteration (survey §5.4)."""
+        ckpt.wait_all()  # async saves from an earlier in-process run
         latest = 0
         while ckpt.ckpt_path(self.exp_dir, latest + 1).exists():
             latest += 1
@@ -370,7 +381,7 @@ class PicardRunner:
                 state, metrics = run_epochs(state, ds.tx, ds.y,
                                             shuffle_keys, step_keys)
             self.global_step += n_epochs * steps
-            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics = _fetch_metrics(metrics)
             self.logger.log({**metrics, "iter": self.i,
                              "epoch": n_epochs - 1},
                             self.global_step, context="train")
@@ -395,7 +406,7 @@ class PicardRunner:
                     state, metrics = run_steps(state, txs[s0:s1], ys[s0:s1],
                                                keys[s0:s1])
                 self.global_step += s1 - s0
-                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics = _fetch_metrics(metrics)
                 self.logger.log({**metrics, "iter": self.i, "epoch": epoch},
                                 self.global_step, context="train")
                 self.progress.update_train(epoch * steps + s1,
@@ -501,4 +512,5 @@ class PicardRunner:
             self.progress.finish_iteration()
         self.progress.close()
         self.logger.close()
+        ckpt.wait_all()  # commit any in-flight async checkpoint writes
         return self.u_current

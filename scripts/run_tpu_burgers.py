@@ -63,6 +63,8 @@ def main():
             print(json.dumps(rec), flush=True)
             f.write(json.dumps(rec) + "\n")
             f.flush()
+    from deeppicarditeration_tpu.training import checkpoint as ckpt
+    ckpt.wait_all()  # commit the final async checkpoint before exit
 
 
 if __name__ == "__main__":

@@ -178,3 +178,16 @@ def test_force_overwrite_semantics(tmp_path):
     # FORCE: true wipes and reruns
     PicardRunner(_mk_cfg("force_test", **{"PICARD.N": 1}),
                  exp_root=tmp_path)
+
+
+@pytest.mark.parametrize("method", ["OptimalControl", "DeepNesting"])
+def test_method_cls_fall_through_runs_picard(tmp_path, method):
+    """METHOD.cls values with no special-case branch fall through to the
+    standard Picard path (reference picard_iteration.py:253-264; the
+    hjb_control / hjb_nest recipes rely on this — survey §2 row 3)."""
+    cfg = _mk_cfg(f"fallthrough_{method}", **{"PICARD.N": 1})
+    cfg.defrost()
+    cfg.METHOD.cls = method
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    runner.run()
+    assert ckpt.ckpt_path(runner.exp_dir, 1).exists()
