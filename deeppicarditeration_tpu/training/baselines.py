@@ -29,6 +29,7 @@ from deeppicarditeration_tpu.ops.derivatives import (
     hutchinson_laplacian,
 )
 from deeppicarditeration_tpu.training import checkpoint as ckpt
+from deeppicarditeration_tpu.training.trainer import jit_opt_init
 
 
 def run_baseline(runner, key):
@@ -330,7 +331,7 @@ def train_dbdp(runner, key):
         kep = jax.random.fold_in(key, 31 + epoch)
         if not enforce:
             pair = pair_at(stacked, K)
-            opt_state = tx_opt.init(pair)
+            opt_state = jit_opt_init(tx_opt)(pair)
             pair, opt_state, loss = terminal_fit(kep, pair, opt_state)
             stacked = jax.tree_util.tree_map(
                 lambda a, b: a.at[K].set(b), stacked, pair)
@@ -340,7 +341,7 @@ def train_dbdp(runner, key):
                     lambda a: a.at[kk - 1].set(a[kk]), stacked)
             pair_prev = pair_at(stacked, kk - 1)
             pair_next = pair_at(stacked, kk)
-            opt_state = tx_opt.init(pair_prev)
+            opt_state = jit_opt_init(tx_opt)(pair_prev)
             kkk = jax.random.fold_in(kep, kk)
             pair_prev, opt_state, loss = substeps_k(
                 kkk, pair_prev, opt_state, pair_next, jnp.asarray(kk),

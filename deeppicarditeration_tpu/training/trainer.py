@@ -110,6 +110,20 @@ def make_optimizer(opt_cfg) -> Tuple[optax.GradientTransformation, bool]:
 # train state + step
 # ---------------------------------------------------------------------------
 
+_OPT_INIT_CACHE: Dict = {}
+
+
+def jit_opt_init(tx: optax.GradientTransformation):
+    """Cached jitted optimizer init (eager optax init is one dispatch per
+    pytree leaf — costly through the remote-TPU tunnel when re-run every
+    Picard iteration / DBDP timestep)."""
+    init = _OPT_INIT_CACHE.get(tx)
+    if init is None:  # keyed on tx itself (hashable namedtuple of fns;
+        # an id() key could alias a new object after GC)
+        init = _OPT_INIT_CACHE[tx] = jax.jit(tx.init)
+    return init
+
+
 @struct.dataclass
 class TrainState:
     params: Any
@@ -118,7 +132,7 @@ class TrainState:
 
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation):
-        return cls(params=params, opt_state=tx.init(params),
+        return cls(params=params, opt_state=jit_opt_init(tx)(params),
                    step=jnp.zeros((), jnp.int32))
 
 
