@@ -204,6 +204,7 @@ def default_cfg() -> Config:
     c.DATA = Config()
     c.DATA.kwargs = Config()  # t_always_uniform, n_estimate_terminal/integral
     c.DATA.SAVE = False
+    c.DATA.SAVE_FORMAT = "npz"  # "npz" | "h5" (reference data_saver.py layout)
     c.DATA.ONLINE = True
     c.DATA.TRAIN_FILE = ""
     c.DATA.DATA_SIZE = 2048 * 5000

@@ -89,20 +89,53 @@ def epoch_batches(key, ds: DeviceDataset, batch_size: int,
     return tx, y
 
 
+# Target-dataset labels used by the reference's H5 layout (one dataset per
+# label, data_saver.py:25-54; label table data.py:1620-1661). Ordered most-
+# specific first so a file with several is read at its widest target.
+_H5_TARGET_LABELS = ("y", "u_ux_uh", "u_ux", "u")
+
+
 def save_dataset(path: pathlib.Path, ds: DeviceDataset) -> None:
-    """Persist a generated dataset (DATA.SAVE, data.py:1498-1520)."""
+    """Persist a generated dataset (DATA.SAVE, data.py:1498-1520).
+
+    ``.npz`` (default) or ``.h5``/``.hdf5`` (the reference's format,
+    data_saver.py:25-54: per-label datasets ``tx`` and targets; we write the
+    target block under ``y``)."""
     path.parent.mkdir(parents=True, exist_ok=True)
+    if path.suffix in (".h5", ".hdf5"):
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            f.create_dataset("tx", data=np.asarray(ds.tx))
+            f.create_dataset("y", data=np.asarray(ds.y))
+        return
     np.savez_compressed(path, tx=np.asarray(ds.tx), y=np.asarray(ds.y))
 
 
 def load_dataset(path, dtype=jnp.float32) -> DeviceDataset:
-    """Offline replay: .npz (ours) or .npy ((tx..., u) columns, reference
-    OfflineDataGenerator format data.py:1391-1399)."""
+    """Offline replay: .npz (ours), .h5/.hdf5 (ours or reference
+    ``split_NN.h5`` label layout, data_saver.py:86-109), or .npy
+    ((tx..., u) columns, reference OfflineDataGenerator format
+    data.py:1391-1399)."""
     path = pathlib.Path(path)
     if path.suffix == ".npz":
         z = np.load(path)
         return DeviceDataset(tx=jnp.asarray(z["tx"], dtype),
                              y=jnp.asarray(z["y"], dtype))
+    if path.suffix in (".h5", ".hdf5"):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            tx = f["tx"][...]
+            for label in _H5_TARGET_LABELS:
+                if label in f:
+                    y = f[label][...]
+                    break
+            else:
+                raise KeyError(
+                    f"{path}: no target dataset among {_H5_TARGET_LABELS}")
+        return DeviceDataset(tx=jnp.asarray(tx, dtype),
+                             y=jnp.asarray(y, dtype))
     data = np.load(path)
     return DeviceDataset(tx=jnp.asarray(data[:, :-1], dtype),
                          y=jnp.asarray(data[:, -1:], dtype))

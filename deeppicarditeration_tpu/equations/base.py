@@ -48,9 +48,18 @@ def get_equation_cls(name: str):
     return _EQUATION_REGISTRY[name]
 
 
-def make_equation(name: str, seed: int = 0, **kwargs):
-    """Instantiate an equation by name. ``seed`` feeds key-derived params."""
+def make_equation(name: str, run_seed: int = 0, **kwargs):
+    """Instantiate an equation by name.
+
+    ``run_seed`` is the experiment seed and feeds key-derived problem
+    parameters by default; an explicit ``seed`` inside ``kwargs`` (i.e.
+    ``EQUATION.kwargs.seed`` in a config) pins the problem *instance*
+    independently of the run seed — the analogue of the reference's
+    per-case parameter files
+    (``scripts/fully_nonlinear/case_{1,2,3}/gbm_2nodes_*.pt``).
+    """
     cls = get_equation_cls(name)
+    seed = kwargs.pop("seed", run_seed)
     return cls.create(seed=seed, **kwargs)
 
 

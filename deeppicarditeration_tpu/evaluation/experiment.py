@@ -37,7 +37,7 @@ class ExperimentEvaluator:
         self.exp_dir = pathlib.Path(exp_dir)
         self.cfg = load_cfg(self.exp_dir / "config.yaml")
         self.equation = make_equation(self.cfg.EQUATION.cls,
-                                      seed=int(self.cfg.SEED),
+                                      run_seed=int(self.cfg.SEED),
                                       **(self.cfg.EQUATION.kwargs or {}))
         self.module = build_network(self.cfg, self.equation)
         self.n_terminal = n_estimate_terminal

@@ -32,13 +32,18 @@ class MetricLogger:
         self._jsonl = open(self.exp_dir / "metrics.jsonl", "a")
         self._tb = None
         if logger == "tensorboard":
+            SummaryWriter = None
             try:
                 from tensorboardX import SummaryWriter  # type: ignore
-
+            except ImportError:
+                try:  # torch ships a tensorboard writer with the same API
+                    from torch.utils.tensorboard import (  # type: ignore
+                        SummaryWriter)
+                except ImportError:
+                    pass
+            if SummaryWriter is not None:
                 self._tb = SummaryWriter(
                     log_dir=str(tensorboard_dir or (self.exp_dir / "tb")))
-            except ImportError:
-                pass
 
     def log(self, metrics: Dict, step: int, context: str = "train") -> None:
         rec = {"step": step, "context": context, "time": time.time()}

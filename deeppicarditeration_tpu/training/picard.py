@@ -128,7 +128,7 @@ class PicardRunner:
             print("DATA.FLOAT: double requested; TPUs have no native f64 — "
                   "running f32 + Kahan-compensated accumulation "
                   "(enable JAX x64 on CPU for f64 parity checks)")
-        self.equation = make_equation(cfg.EQUATION.cls, seed=self.seed,
+        self.equation = make_equation(cfg.EQUATION.cls, run_seed=self.seed,
                                       **(cfg.EQUATION.kwargs or {}))
         eq = self.equation
 
@@ -243,7 +243,8 @@ class PicardRunner:
             # i's dataset but BEFORE its checkpoint replays the saved data
             # instead of regenerating (beyond reference, survey §5.4: "no
             # mid-iteration resume")
-            saved = self.exp_dir / f"data_iter_{self.i}.npz"
+            ext = "h5" if cfg.DATA.SAVE_FORMAT == "h5" else "npz"
+            saved = self.exp_dir / f"data_iter_{self.i}.{ext}"
             if saved.exists():
                 ds = load_dataset(saved)
                 if ds.size == n_total:
@@ -288,7 +289,8 @@ class PicardRunner:
                               sharding=self.sharding, jit_sample=jit_sample,
                               t_expo=float(max(gen.N - gen.i + 1, 1)))
         if cfg.DATA.SAVE:
-            save_dataset(self.exp_dir / f"data_iter_{self.i}.npz", ds)
+            ext = "h5" if cfg.DATA.SAVE_FORMAT == "h5" else "npz"
+            save_dataset(self.exp_dir / f"data_iter_{self.i}.{ext}", ds)
         return ds
 
     # ------------------------------------------------------------------

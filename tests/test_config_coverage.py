@@ -21,7 +21,7 @@ CONFIGS = sorted((ROOT / "configs").rglob("*.yaml"))
     p.relative_to(ROOT / "configs")))
 def test_config_constructs(cfg_path):
     cfg = load_cfg(cfg_path)
-    eq = make_equation(cfg.EQUATION.cls, seed=int(cfg.SEED),
+    eq = make_equation(cfg.EQUATION.cls, run_seed=int(cfg.SEED),
                        **(cfg.EQUATION.kwargs or {}))
     assert eq.nx >= 1
     module = build_network(cfg, eq)
@@ -36,7 +36,25 @@ def test_config_constructs(cfg_path):
 
 
 def test_config_count_matches_reference_recipes():
-    """One config per runnable reference recipe (burgers 4, hjb 6, FN 3)."""
+    """One config per runnable reference recipe (burgers 4, hjb 6, FN 3)
+    plus the FN case_2/case_3 problem instances (reference ships these as
+    per-case .pt parameter files; here they are seed-pinned configs)."""
     fam = {p.parent.name for p in CONFIGS}
     assert fam == {"burgers", "hjb", "fully_nonlinear"}
-    assert len(CONFIGS) == 13
+    assert len(CONFIGS) == 15
+
+
+def test_fn_cases_are_distinct_instances():
+    """case 1/2/3 must construct three different exact solutions."""
+    import numpy as np
+    eqs = []
+    for name in ("base_100d_T1.0_w0.0_nov.yaml",
+                 "base_100d_T1.0_w0.0_nov_case2.yaml",
+                 "base_100d_T1.0_w0.0_nov_case3.yaml"):
+        cfg = load_cfg(ROOT / "configs" / "fully_nonlinear" / name)
+        eqs.append(make_equation(cfg.EQUATION.cls, run_seed=int(cfg.SEED),
+                                 **(cfg.EQUATION.kwargs or {})))
+    ws = [np.asarray(eq.w) for eq in eqs]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert not np.allclose(ws[i], ws[j])

@@ -191,3 +191,27 @@ def test_method_cls_fall_through_runs_picard(tmp_path, method):
     runner = PicardRunner(cfg, exp_root=tmp_path)
     runner.run()
     assert ckpt.ckpt_path(runner.exp_dir, 1).exists()
+
+
+def test_data_save_h5_and_reference_label_replay(tmp_path):
+    """DATA.SAVE_FORMAT h5 roundtrip + reading the reference's split_NN.h5
+    label layout (data_saver.py:25-54: per-label datasets tx / u_ux)."""
+    import h5py
+    import numpy as np
+
+    cfg = _mk_cfg("save_h5_test", **{"DATA.SAVE": True,
+                                     "DATA.SAVE_FORMAT": "h5",
+                                     "PICARD.N": 1})
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    runner.run()
+    saved = runner.exp_dir / "data_iter_1.h5"
+    assert saved.exists()
+    ds = load_dataset(saved)
+    assert ds.tx.shape == (128, 1 + NX)
+
+    ref = tmp_path / "split_00.h5"
+    with h5py.File(ref, "w") as f:
+        f.create_dataset("tx", data=np.asarray(ds.tx))
+        f.create_dataset("u_ux", data=np.asarray(ds.y))
+    ds2 = load_dataset(ref)
+    assert np.allclose(np.asarray(ds2.y), np.asarray(ds.y))

@@ -117,3 +117,17 @@ def test_distributed_noop_single_host(monkeypatch):
     assert distributed.initialize() is False
     assert distributed.is_primary()
     assert jax.process_index() == 0
+
+
+def test_metric_logger_tensorboard_fallback(tmp_path):
+    """LOGGING.LOGGER tensorboard works via torch's writer when tensorboardX
+    is absent (reference logs to wandb/tensorboardX, picard_iteration.py:
+    265-276; zero-egress parity is jsonl + local event files)."""
+    from deeppicarditeration_tpu.training.logging import MetricLogger
+
+    lg = MetricLogger(tmp_path, logger="tensorboard")
+    lg.log({"rRMSE": 0.1, "skipme": "str"}, step=1, context="eval")
+    lg.close()
+    assert (tmp_path / "metrics.jsonl").exists()
+    if lg._tb is not None:  # a tensorboard writer was importable
+        assert list(tmp_path.rglob("events.out.tfevents.*"))
