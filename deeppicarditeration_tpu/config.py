@@ -204,7 +204,8 @@ def default_cfg() -> Config:
     c.DATA = Config()
     c.DATA.kwargs = Config()  # t_always_uniform, n_estimate_terminal/integral
     c.DATA.SAVE = False
-    c.DATA.SAVE_FORMAT = "npz"  # "npz" | "h5" (reference data_saver.py layout)
+    c.DATA.SAVE_FORMAT = "npz"  # "npz" | "h5"/"hdf5" (reference H5 layout;
+    # validated by data.dataset.data_save_ext, needs the h5py extra)
     c.DATA.ONLINE = True
     c.DATA.TRAIN_FILE = ""
     c.DATA.DATA_SIZE = 2048 * 5000

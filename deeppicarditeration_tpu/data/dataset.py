@@ -3,11 +3,12 @@
 TPU-first replacement for the reference's dataset/cache/saver zoo
 (dataset.py, data_saver.py, memory.py — survey §7.1.3): the per-iteration
 dataset is ONE sharded device array pair (tx, y); multi-epoch training
-shuffles a permutation of indices on device; persistence is a plain
-``.npz`` per iteration (replaces H5 split files, data.py:1498-1520);
-offline replay loads ``.npy``/``.npz`` (OfflineDataGenerator,
-data.py:1382-1408). There is no OOM-probing: generation batch sizes are
-static and chosen ahead of time.
+shuffles a permutation of indices on device; persistence is one ``.npz``
+(default) or ``.h5`` (``DATA.SAVE_FORMAT``, reference layout
+data.py:1498-1520) per iteration; offline replay loads ``.npy``/``.npz``/
+``.h5`` including the reference's ``split_NN.h5`` label layout
+(OfflineDataGenerator, data.py:1382-1408). There is no OOM-probing:
+generation batch sizes are static and chosen ahead of time.
 """
 
 from __future__ import annotations
@@ -93,6 +94,18 @@ def epoch_batches(key, ds: DeviceDataset, batch_size: int,
 # label, data_saver.py:25-54; label table data.py:1620-1661). Ordered most-
 # specific first so a file with several is read at its widest target.
 _H5_TARGET_LABELS = ("y", "u_ux_uh", "u_ux", "u")
+
+
+def data_save_ext(save_format: str) -> str:
+    """Map DATA.SAVE_FORMAT to the data_iter_{i} file extension (both the
+    save and the RESUME-replay path MUST use this so they cannot drift)."""
+    fmt = str(save_format).lower()
+    if fmt in ("h5", "hdf5"):
+        return "h5"
+    if fmt == "npz":
+        return "npz"
+    raise ValueError(
+        f"DATA.SAVE_FORMAT must be 'npz' or 'h5', got {save_format!r}")
 
 
 def save_dataset(path: pathlib.Path, ds: DeviceDataset) -> None:

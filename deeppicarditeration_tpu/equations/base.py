@@ -26,6 +26,7 @@ TPU-first design deltas from the reference:
 from __future__ import annotations
 
 import math
+import zlib
 from typing import Callable, Dict, Tuple, Type
 
 import jax
@@ -46,6 +47,15 @@ def get_equation_cls(name: str):
             f"Unknown equation {name!r}; known: {sorted(_EQUATION_REGISTRY)}"
         )
     return _EQUATION_REGISTRY[name]
+
+
+def param_tag(name: str) -> int:
+    """Process-stable 31-bit tag for domain-separating the problem-parameter
+    PRNG fold. Built-in ``hash()`` must never be used here: str hashes are
+    PYTHONHASHSEED-salted per process, so the same seed would generate a
+    DIFFERENT problem instance in a fresh process (breaking post-hoc
+    evaluation and RESUME of seeded equations)."""
+    return zlib.crc32(name.encode()) & 0x7FFFFFFF
 
 
 def make_equation(name: str, run_seed: int = 0, **kwargs):

@@ -23,6 +23,7 @@ from flax import struct
 
 from deeppicarditeration_tpu.equations.base import (
     SimpleDiffusionWithHessian,
+    param_tag,
     register_equation,
 )
 
@@ -42,7 +43,7 @@ class GBMEquationComplexExact(SimpleDiffusionWithHessian):
     @classmethod
     def create(cls, nx: int = 100, alpha: float = 1.0, T: float = 1.0,
                seed: int = 0, num_neurons: int = 2):
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), hash("gbm_wv") % (2**31))
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), param_tag("gbm_wv"))
         kw, kv = jax.random.split(key)
         w = jax.random.normal(kw, (num_neurons, 1 + nx)) / math.sqrt(nx)
         w = w.at[:, 0].set(1.0)

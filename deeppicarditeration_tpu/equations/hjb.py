@@ -37,6 +37,7 @@ from deeppicarditeration_tpu.distributions import (
 )
 from deeppicarditeration_tpu.equations.base import (
     EquationMethods,
+    param_tag,
     register_equation,
 )
 
@@ -63,7 +64,7 @@ class OUProcessEquation(EquationMethods):
                mu: float = 0.0, alpha: float = 1.0, num_components: int = 2,
                mean_scale: float = 1.0, var_scale: float = 2.0,
                alpha_scale: float = 4.0, seed: int = 0):
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), hash("ou_gmm") % (2**31))
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), param_tag("ou_gmm"))
         gmm = make_random_gmm(key, nx, num_components, mean_scale, var_scale)
         return cls(nx=nx, T=T, alpha=alpha, theta=theta, mu=mu,
                    alpha_scale=alpha_scale, gmm_means=gmm.means,

@@ -42,8 +42,13 @@ class MetricLogger:
                 except ImportError:
                     pass
             if SummaryWriter is not None:
-                self._tb = SummaryWriter(
-                    log_dir=str(tensorboard_dir or (self.exp_dir / "tb")))
+                try:
+                    self._tb = SummaryWriter(
+                        log_dir=str(tensorboard_dir or (self.exp_dir / "tb")))
+                except Exception as e:  # best-effort: never kill the run
+                    print(f"tensorboard writer unavailable ({e!r}); "
+                          "logging to metrics.jsonl only")
+                    self._tb = None
 
     def log(self, metrics: Dict, step: int, context: str = "train") -> None:
         rec = {"step": step, "context": context, "time": time.time()}

@@ -28,6 +28,7 @@ from deeppicarditeration_tpu.data.dataset import (
     epoch_batches,
     generate_dataset,
     load_dataset,
+    data_save_ext,
     save_dataset,
 )
 from deeppicarditeration_tpu.equations import make_equation
@@ -243,7 +244,7 @@ class PicardRunner:
             # i's dataset but BEFORE its checkpoint replays the saved data
             # instead of regenerating (beyond reference, survey §5.4: "no
             # mid-iteration resume")
-            ext = "h5" if cfg.DATA.SAVE_FORMAT == "h5" else "npz"
+            ext = data_save_ext(cfg.DATA.SAVE_FORMAT)
             saved = self.exp_dir / f"data_iter_{self.i}.{ext}"
             if saved.exists():
                 ds = load_dataset(saved)
@@ -289,7 +290,7 @@ class PicardRunner:
                               sharding=self.sharding, jit_sample=jit_sample,
                               t_expo=float(max(gen.N - gen.i + 1, 1)))
         if cfg.DATA.SAVE:
-            ext = "h5" if cfg.DATA.SAVE_FORMAT == "h5" else "npz"
+            ext = data_save_ext(cfg.DATA.SAVE_FORMAT)
             save_dataset(self.exp_dir / f"data_iter_{self.i}.{ext}", ds)
         return ds
 

@@ -231,3 +231,41 @@ def test_laplacian_mixin_get_f_exact_and_hutchinson(key):
     f_hutch = get_f(eq_h, sol, t, x, hutchinson_key=kh)
     err = np.abs(np.asarray(f_hutch) - np.asarray(f_exact))
     assert err.mean() < 0.05 * (np.abs(np.asarray(f_exact)).mean() + 1.0)
+
+
+def test_problem_instance_stable_across_processes():
+    """Seeded problem parameters must be identical in a fresh process with a
+    different PYTHONHASHSEED: built-in hash() is salted per process, so any
+    hash() in the parameter derivation would silently change the problem
+    instance between train and post-hoc evaluate/RESUME (regression test
+    for the param_tag fix in equations/base.py)."""
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from deeppicarditeration_tpu.equations import make_equation
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from deeppicarditeration_tpu.equations import make_equation\n"
+        "fn = make_equation('GBMEquationComplexExact', nx=7, seed=2)\n"
+        "ou = make_equation('OUProcessEquation', nx=5, num_components=2,"
+        " seed=2)\n"
+        "print(repr([float(np.asarray(fn.w).sum()),"
+        " float(np.asarray(ou.gmm_means).sum())]))\n"
+    )
+    env = dict(os.environ, PYTHONHASHSEED="12345", JAX_PLATFORMS="cpu",
+               PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert out.returncode == 0, out.stderr[-2000:]
+    sub_w, sub_m = eval(out.stdout.strip().splitlines()[-1])
+    fn = make_equation("GBMEquationComplexExact", nx=7, seed=2)
+    ou = make_equation("OUProcessEquation", nx=5, num_components=2, seed=2)
+    np.testing.assert_allclose(float(np.asarray(fn.w).sum()), sub_w, rtol=0)
+    np.testing.assert_allclose(float(np.asarray(ou.gmm_means).sum()), sub_m,
+                               rtol=0)

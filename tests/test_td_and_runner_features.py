@@ -196,7 +196,7 @@ def test_method_cls_fall_through_runs_picard(tmp_path, method):
 def test_data_save_h5_and_reference_label_replay(tmp_path):
     """DATA.SAVE_FORMAT h5 roundtrip + reading the reference's split_NN.h5
     label layout (data_saver.py:25-54: per-label datasets tx / u_ux)."""
-    import h5py
+    h5py = pytest.importorskip("h5py")
     import numpy as np
 
     cfg = _mk_cfg("save_h5_test", **{"DATA.SAVE": True,
@@ -215,3 +215,15 @@ def test_data_save_h5_and_reference_label_replay(tmp_path):
         f.create_dataset("u_ux", data=np.asarray(ds.y))
     ds2 = load_dataset(ref)
     assert np.allclose(np.asarray(ds2.y), np.asarray(ds.y))
+
+
+def test_data_save_ext_validation():
+    """SAVE_FORMAT is validated once for both the save and replay paths."""
+    from deeppicarditeration_tpu.data.dataset import data_save_ext
+
+    assert data_save_ext("npz") == "npz"
+    assert data_save_ext("h5") == "h5"
+    assert data_save_ext("hdf5") == "h5"
+    assert data_save_ext("H5") == "h5"
+    with pytest.raises(ValueError):
+        data_save_ext("parquet")
