@@ -53,6 +53,14 @@ def _elementwise_d12(act, z):
     return jax.jvp(d1, (z,), (jnp.ones_like(z),))
 
 
+def _gz_boundary(s1, G):
+    """G_{z_0} = s1 G_{a_0} s1^T: the shared first-layer-boundary assembly
+    used by BOTH mlp_hessian_diag and full_hessian (the diag(curv) term is
+    contracted separately by each so the single-hidden-layer case never
+    materializes an (R, w, w) block)."""
+    return s1[:, :, None] * G * s1[:, None, :]
+
+
 def mlp_hessian_diag(sol: Solution, t, x) -> jnp.ndarray:
     """Exact FULL Hessian diagonal d^2 u / dx_i^2 of a plain-MLP value
     head, (..., nx), via second-order backprop.
@@ -76,7 +84,7 @@ def mlp_hessian_diag(sol: Solution, t, x) -> jnp.ndarray:
     if G is None:  # single hidden layer
         diag = jnp.einsum("io,ro->ri", W1x ** 2, curv)
     else:
-        Gz = s1[:, :, None] * G * s1[:, None, :]
+        Gz = _gz_boundary(s1, G)
         diag = (jnp.einsum("io,rol,il->ri", W1x, Gz, W1x,
                            optimize="greedy")
                 + jnp.einsum("io,ro->ri", W1x ** 2, curv))
@@ -223,7 +231,7 @@ def full_hessian(sol: Solution, t, x) -> jnp.ndarray:
         W1x, s1, curv, G = _mlp_second_order(sol, t, x)
         H = jnp.einsum("io,ro,jo->rij", W1x, curv, W1x, optimize="greedy")
         if G is not None:
-            Gz = s1[:, :, None] * G * s1[:, None, :]
+            Gz = _gz_boundary(s1, G)
             H = H + jnp.einsum("io,rol,jl->rij", W1x, Gz, W1x,
                                optimize="greedy")
         return H.reshape(x.shape[:-1] + (nx, nx))

@@ -38,6 +38,25 @@ from deeppicarditeration_tpu.ops.samplers import sample_t_picard, sample_t_unifo
 from deeppicarditeration_tpu.ops.summation import KahanAcc
 
 
+def largest_divisor(n: int, cap: int, step: int = 1) -> int:
+    """Largest divisor of ``n`` that is <= max(cap, step) and a multiple of
+    ``step``. Shared by GenConfig.chunk and the Pallas tile/mblk walks so
+    the chunking policy cannot drift between the XLA and kernel paths.
+
+    Raises instead of crashing with ZeroDivisionError when no such divisor
+    exists — the one reachable case is antithetic pairing (step=2) with an
+    odd sample count."""
+    d = min(n, max(cap, step))
+    while d >= step:
+        if n % d == 0 and d % step == 0:
+            return d
+        d -= 1
+    raise ValueError(
+        f"no divisor of {n} <= {max(cap, step)} is a multiple of {step}"
+        + (" — antithetic pairing needs an even sample count"
+           if step == 2 else ""))
+
+
 @dataclasses.dataclass(frozen=True)
 class GenConfig:
     """Static generation parameters (hashable; safe to close over in jit)."""
@@ -66,11 +85,8 @@ class GenConfig:
         """Largest divisor of m with batch * chunk * nx <= chunk_elems
         (even when antithetic pairing is on)."""
         target = max(1, self.chunk_elems // max(batch * nx, 1))
-        mc = min(m, target)
         step = 2 if self.antithetic else 1
-        while m % mc or mc % step:
-            mc -= 1
-        return max(mc, step)
+        return largest_divisor(m, target, step)
 
 
 # Floor on (s - t) wherever it appears under 1/sqrt: in f32 the uniform
@@ -175,6 +191,27 @@ def estimate_integral(key, eq, sol: Solution, tx, gen: GenConfig):
 # value + gradient estimators (data.py:471-527, 899-926)
 # ---------------------------------------------------------------------------
 
+def _forced_pallas_draws(key, tx, m: int, antithetic: bool,
+                         with_u01: bool = False):
+    """External randomness for FORCED Pallas flags off the TPU backend.
+
+    The Pallas interpreter (used automatically off-TPU) stubs the in-kernel
+    hardware PRNG to zeros, which would silently collapse every increment —
+    targets would degenerate to the CV baselines with no error. Supplying
+    explicit draws keeps forced flags exact anywhere (the kernels'
+    documented external-noise test path); on the real TPU return no draws
+    so increments are generated in VMEM."""
+    if jax.default_backend() == "tpu":
+        return {}
+    b, nx = tx.shape[0], tx.shape[1] - 1
+    m_draw = m // 2 if antithetic else m
+    kn, ku = jax.random.split(jax.random.fold_in(key, 0x5eed))
+    out = {"noise": jax.random.normal(kn, (b, m_draw, nx), tx.dtype)}
+    if with_u01:
+        out["u01"] = jax.random.uniform(ku, (b, m_draw, 1), tx.dtype)
+    return out
+
+
 def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
     """E[(g(X_T) - g(x)) (1, Y)] + (g(x), 0); (B, 1 + nx)."""
     if gen.pallas_terminal:
@@ -187,13 +224,18 @@ def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
         # B=4096, M=4096, nx=100); tile 1024 or mblk 32 overflow VMEM
         return terminal_with_gradients_pallas(
             seed_from_key(key), eq, tx, gen.n_estimate_terminal,
-            tile_b=512, mblk=8, antithetic=gen.antithetic)
+            tile_b=512, mblk=8, antithetic=gen.antithetic,
+            **_forced_pallas_draws(key, tx, gen.n_estimate_terminal,
+                                   gen.antithetic))
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_terminal
     mc = gen.chunk(m, b, nx)
     g0 = eq.g(x)  # (B, 1) control-variate baseline
-    sqrt_Tt = jnp.sqrt(eq.T - t)
+    # _safe: a collocation t can hit T exactly in f32 (the t-samplers draw
+    # from laws whose support includes T), which would make inv_y = inf and
+    # the 0 * inf gradient weight NaN -- same class as the s == t floor.
+    sqrt_Tt = jnp.sqrt(_safe(eq.T - t))
     inv_y = 1.0 / (sqrt_Tt * eq.alpha_sqrt)  # Y = dW * inv_y
 
     def chunk_sum(k, ck):
@@ -234,15 +276,15 @@ def _baseline_f(eq, sol: Solution, t, x, key, gen: GenConfig):
     return f0, None
 
 
-def _baseline_f_at_indices(eq, sol: Solution, t, x, d0, idx):
+def _baseline_f_at_indices(eq, sol: Solution, t, x, d0, idx, u0):
     """SDGD baseline f0 per sampled index subset (B, mc, 1).
 
     With an ``ffi_stats`` equation the sampled-entry statistics come
     from multiplicity counts contracted against the precomputed full
     diagonal d0 (a batched matvec — no (B, mc, v) gather), and the
     source terms are evaluated once per collocation point through the
-    (B, 1, .) singleton sample dim."""
-    u0 = sol.value(jnp.concatenate([t, x], axis=-1))  # (B, 1)
+    (B, 1, .) singleton sample dim. ``u0 = sol.value(tx)`` is chunk-
+    invariant and computed once outside the scan by the callers."""
     v = idx.shape[-1]
     if hasattr(eq, "ffi_stats"):
         from deeppicarditeration_tpu.ops.derivatives import (
@@ -276,20 +318,25 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
         return integral_with_gradients_pallas(
             seed_from_key(key, 1), eq, sol, tx, gen.n_estimate_integral,
             tile_b=128, mblk=8, antithetic=gen.antithetic,
-            mxu_precision="bf16x3")
+            mxu_precision="bf16x3",
+            **_forced_pallas_draws(key, tx, gen.n_estimate_integral,
+                                   gen.antithetic, with_u01=True))
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_integral
     mc = gen.chunk(m, b, nx)
     k_base, k_scan = jax.random.split(key)
     f0, d0 = _baseline_f(eq, sol, t, x, k_base, gen)
+    u0 = sol.value(tx) if d0 is not None else None  # chunk-invariant
     Tt = (eq.T - t)
 
     def chunk_sum(k, ck):
-        ks, kw, kh, kb = jax.random.split(k, 4)
-        u01 = jax.random.uniform(ks, (b, mc, 1), dtype=x.dtype)
+        ks, kw, kh = jax.random.split(k, 3)
         if gen.antithetic:  # pair shares the same s
-            u01 = jnp.concatenate([u01[:, :mc // 2], u01[:, :mc // 2]], 1)
+            u_half = jax.random.uniform(ks, (b, mc // 2, 1), dtype=x.dtype)
+            u01 = jnp.concatenate([u_half, u_half], 1)
+        else:
+            u01 = jax.random.uniform(ks, (b, mc, 1), dtype=x.dtype)
         s = t[:, None, :] + u01 * Tt[:, None, :]
         dW = _draw_increments(gen, kw, b, mc, nx, x.dtype)
         st = s - t[:, None, :]
@@ -298,7 +345,7 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
                if (eq.has_hessian_term and gen.sdgd_v) else None)
         f = get_f(eq, sol, s, Xs, hess_indices=idx, hutchinson_key=kh)
         if idx is not None:
-            f0_b = _baseline_f_at_indices(eq, sol, t, x, d0, idx)
+            f0_b = _baseline_f_at_indices(eq, sol, t, x, d0, idx, u0)
         else:
             f0_b = f0[:, None, :]
         diff = Tt[:, None, :] * (f - f0_b)  # (B, mc, 1)
@@ -329,9 +376,9 @@ def estimate_terminal_with_gradients_and_hessians(key, eq, tx,
     m = gen.n_estimate_terminal
     mc = gen.chunk(m, b, nx)
     g0 = eq.g(x)
-    sqrt_Tt = jnp.sqrt(eq.T - t)
+    Tt = _safe(eq.T - t)  # floored: divided into inv_y and the dlt weight
+    sqrt_Tt = jnp.sqrt(Tt)
     inv_y = 1.0 / (sqrt_Tt * eq.alpha_sqrt)
-    Tt = eq.T - t
 
     def chunk_sum(k, ck):
         kw, kh = jax.random.split(k)
@@ -381,7 +428,8 @@ def estimate_integral_with_gradients_and_hessians(key, eq, sol: Solution,
         st = s - t[:, None, :]
         dW = _draw_normals(gen, kw, (b, mc, nx), x.dtype)
         Xs = x[:, None, :] + jnp.sqrt(st) * eq.alpha_sqrt * dW
-        f = get_f(eq, sol, s, Xs)
+        kf, kp, km = jax.random.split(jax.random.fold_in(k, 1), 3)
+        f = get_f(eq, sol, s, Xs, hutchinson_key=kf)
         diff = Tt[:, None, :] * (f - f0[:, None, :])
         val = jnp.sum(diff, axis=1)
         inv_y = 1.0 / (jnp.sqrt(_safe(st)) * eq.alpha_sqrt)
@@ -390,8 +438,8 @@ def estimate_integral_with_gradients_and_hessians(key, eq, sol: Solution,
         W2 = jnp.sqrt(st) * _draw_normals(gen, kh, (b, mc, nx), x.dtype)
         Xp = x[:, None, :] + eq.alpha_sqrt * W2
         Xm = x[:, None, :] - eq.alpha_sqrt * W2
-        fp = get_f(eq, sol, s, Xp)
-        fm = get_f(eq, sol, s, Xm)
+        fp = get_f(eq, sol, s, Xp, hutchinson_key=kp)
+        fm = get_f(eq, sol, s, Xm, hutchinson_key=km)
         dlt = (fp + fm - 2.0 * f0[:, None, :]) / 2.0 / _safe(st)
         w = dlt / _safe(st)
         part1 = jnp.einsum("bmi,bmj->bij", w[..., 0:1] * W2, W2)
@@ -419,7 +467,7 @@ def estimate_terminal_with_gradients_td(key, eq, sol: Solution, tx,
     mc = gen.chunk(m, b, nx)
     t_next = jnp.minimum(t + gen.estimate_delta_t, eq.T)
     g0 = eq.g(x)
-    sqrt_dt = jnp.sqrt(t_next - t)
+    sqrt_dt = jnp.sqrt(_safe(t_next - t))  # t can equal T in f32
     inv_y = 1.0 / (sqrt_dt * eq.alpha_sqrt)
     at_T = (t_next >= eq.T)
 
@@ -448,6 +496,7 @@ def estimate_integral_with_gradients_td(key, eq, sol: Solution, tx,
     k_base, k_scan = jax.random.split(key)
     t_next = jnp.minimum(t + gen.estimate_delta_t, eq.T)
     f0, d0 = _baseline_f(eq, sol, t, x, k_base, gen)
+    u0 = sol.value(tx) if d0 is not None else None  # chunk-invariant
     horizon = t_next - t
 
     def chunk_sum(k, ck):
@@ -461,7 +510,7 @@ def estimate_integral_with_gradients_td(key, eq, sol: Solution, tx,
                if (eq.has_hessian_term and gen.sdgd_v) else None)
         f = get_f(eq, sol, s, Xs, hess_indices=idx, hutchinson_key=kh)
         if idx is not None:
-            f0_b = _baseline_f_at_indices(eq, sol, t, x, d0, idx)
+            f0_b = _baseline_f_at_indices(eq, sol, t, x, d0, idx, u0)
         else:
             f0_b = f0[:, None, :]
         diff = horizon[:, None, :] * (f - f0_b)
@@ -488,7 +537,7 @@ def estimate_terminal_with_gradients_td_bygx(key, eq, sol: Solution, tx,
     mc = gen.chunk(m, b, nx)
     t_next = jnp.minimum(t + gen.estimate_delta_t, eq.T)
     at_T = (t_next >= eq.T)
-    sqrt_dt = jnp.sqrt(t_next - t)
+    sqrt_dt = jnp.sqrt(_safe(t_next - t))  # t can equal T in f32
 
     def chunk_sum(k, ck):
         dW = _draw_normals(gen, k, (b, mc, nx), x.dtype)
@@ -559,11 +608,17 @@ def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
             # cannot lower precision=HIGH natively). See
             # pallas_kernels.bf16x3_dot_general.
             tile, split = tile_spec
+            di = _forced_pallas_draws(k2, tx, gen.n_estimate_integral,
+                                      gen.antithetic, with_u01=True)
+            dt = _forced_pallas_draws(k1, tx, gen.n_estimate_terminal,
+                                      gen.antithetic)
+            ext = ({"noise_t": dt["noise"], "noise_i": di["noise"],
+                    "u01": di["u01"]} if dt else {})
             return generate_with_gradients_pallas(
                 seed_from_key(key, 2), eq, sol, tx,
                 gen.n_estimate_terminal, tile_b=tile,
                 antithetic=gen.antithetic, mxu_precision="bf16x3",
-                split_chains=split)
+                split_chains=split, **ext)
     if gen.estimate_delta_t > 0:
         if sol.output_dim == 1:
             g = estimate_terminal_with_gradients_td(k1, eq, sol, tx, gen)
@@ -593,13 +648,15 @@ def generate_two_layer(key, eq, sol: Solution, sol_m2: Solution, tx,
     mc = gen.chunk(m, b, nx)
 
     def chunk_sum(k, ck):
-        ks, kw = jax.random.split(k)
+        ks, kw, kh = jax.random.split(k, 3)
         u01 = jax.random.uniform(ks, (b, mc, 1), dtype=x.dtype)
         s = t[:, None, :] + u01 * (eq.T - t)[:, None, :]
         dW = _draw_normals(gen, kw, (b, mc, nx), x.dtype)
         Xs = x[:, None, :] + jnp.sqrt(s - t[:, None, :]) * eq.alpha_sqrt * dW
-        f1 = get_f(eq, sol, s, Xs)
-        f2 = get_f(eq, sol_m2, s, Xs)
+        # both iterates see the SAME Hutchinson probes: the residual
+        # f(u_{k-1}) - f(u_{k-2}) then cancels the probe noise exactly
+        f1 = get_f(eq, sol, s, Xs, hutchinson_key=kh)
+        f2 = get_f(eq, sol_m2, s, Xs, hutchinson_key=kh)
         return jnp.sum((eq.T - t)[:, None, :] * (f1 - f2), axis=1)
 
     residual = _scan_mean(key, m, mc, (b, 1), chunk_sum, x.dtype)

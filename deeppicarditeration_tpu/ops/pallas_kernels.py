@@ -414,13 +414,10 @@ def integral_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     nx_pad = _round_up(nx, LANE)
-    tile = min(tile_b, b)
-    while b % tile:
-        tile -= 1
-    step = 2 if antithetic else 1
-    mblk = min(mblk, m)
-    while m % mblk or mblk % step:
-        mblk -= 1
+    from deeppicarditeration_tpu.ops.estimators import largest_divisor
+
+    tile = largest_divisor(b, tile_b)
+    mblk = largest_divisor(m, mblk, 2 if antithetic else 1)
     x_pad = jnp.pad(x, ((0, 0), (0, nx_pad - nx)))
     if f0 is None:
         f0 = get_f(eq, sol, t, x)
@@ -527,7 +524,9 @@ def _generate_kernel(seed_ref, t_ref, x_ref, g0_ref, f0_ref, *rest,
     x = x_ref[:]
     g0 = g0_ref[:]
     f0 = f0_ref[:]
-    Tt = T - t
+    # floored like estimators._ST_FLOOR: t can hit T exactly in f32 and
+    # 1/sqrt(0) would NaN the whole accumulator tile
+    Tt = jnp.maximum(T - t, 1e-6)
     sqrt_Tt = jnp.sqrt(Tt)
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     mask = (col < nx).astype(x.dtype)[:, None, :]
@@ -643,13 +642,10 @@ def generate_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     nx_pad = _round_up(nx, LANE)
-    tile = min(tile_b, b)
-    while b % tile:
-        tile -= 1
-    step = 2 if antithetic else 1
-    mblk = min(mblk, m)
-    while m % mblk or mblk % step:
-        mblk -= 1
+    from deeppicarditeration_tpu.ops.estimators import largest_divisor
+
+    tile = largest_divisor(b, tile_b)
+    mblk = largest_divisor(m, mblk, 2 if antithetic else 1)
     x_pad = jnp.pad(x, ((0, 0), (0, nx_pad - nx)))
     g0 = eq.g(x)
     f0 = get_f(eq, sol, t, x)
@@ -755,7 +751,7 @@ def _terminal_kernel(seed_ref, t_ref, x_ref, g0_ref, *rest, g_fn: Callable,
     t = t_ref[:]  # (tile_b, 1)
     x = x_ref[:]  # (tile_b, nx_pad); pad columns are zero
     g0 = g0_ref[:]  # (tile_b, 1)
-    sqrt_tt = jnp.sqrt(T - t)
+    sqrt_tt = jnp.sqrt(jnp.maximum(T - t, 1e-6))  # estimators._ST_FLOOR
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     mask = (col < nx).astype(x.dtype)[:, None, :]  # (tile_b, 1, nx_pad)
     inv_y = 1.0 / (sqrt_tt * alpha_sqrt)
@@ -814,13 +810,10 @@ def terminal_with_gradients_pallas(seed: int, eq, tx: jnp.ndarray, m: int,
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     nx_pad = _round_up(nx, LANE)
-    tile = min(tile_b, b)
-    while b % tile:
-        tile -= 1
-    step = 2 if antithetic else 1
-    mblk = min(mblk, m)
-    while m % mblk or mblk % step:
-        mblk -= 1
+    from deeppicarditeration_tpu.ops.estimators import largest_divisor
+
+    tile = largest_divisor(b, tile_b)
+    mblk = largest_divisor(m, mblk, 2 if antithetic else 1)
     x_pad = jnp.pad(x, ((0, 0), (0, nx_pad - nx)))
     g0 = eq.g(x)
     cap_arrs, cap_shapes, cap_treedef = _flatten_captured(eq)

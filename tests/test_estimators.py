@@ -299,7 +299,7 @@ def test_sdgd_counts_path_matches_gather(key):
     idx3 = jax.random.randint(jax.random.fold_in(key, 4), (b, mc, v), 0,
                               nx, dtype=jnp.int32)
     d0 = mlp_hessian_diag(sol, s, x)
-    f0_fast = _baseline_f_at_indices(eq, sol, s, x, d0, idx3)
+    f0_fast = _baseline_f_at_indices(eq, sol, s, x, d0, idx3, u)
     u_ii0 = jnp.take_along_axis(
         jnp.broadcast_to(d0[:, None, :], (b, mc, nx)), idx3, axis=-1)
     f0_ref = eq.ffi(
@@ -449,3 +449,76 @@ def test_estimators_jit_with_equation_as_pytree(key):
     out2 = gen_fn(key, eq, sol2, tx)
     assert out1.shape == out2.shape == (8, 1 + nx)
     assert gen_fn._cache_size() == 1
+
+
+def test_terminal_gradients_finite_at_t_equals_T(key):
+    """A collocation point with t == T exactly (reachable in f32: the
+    t-samplers' support includes T) must yield finite targets, not the
+    0 * inf = NaN of an unfloored 1/sqrt(T - t) weight."""
+    nx = 4
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=1.0, T=1.0)
+    sol = Solution.zero(nx)
+    t = jnp.array([[1.0], [0.5], [1.0]])  # two points AT T
+    x = jax.random.normal(key, (3, nx))
+    tx = jnp.concatenate([t, x], axis=-1)
+    gen = est.GenConfig(n_estimate_terminal=8, n_estimate_integral=8,
+                        chunk_elems=2 ** 12)
+    for fn in (lambda: est.estimate_terminal_with_gradients(key, eq, tx, gen),
+               lambda: est.generate_with_gradients(key, eq, sol, tx, gen)):
+        out = np.asarray(fn())
+        assert np.all(np.isfinite(out)), out
+    # TD variant: t_next == t == T
+    gen_td = est.GenConfig(n_estimate_terminal=8, n_estimate_integral=8,
+                           chunk_elems=2 ** 12, estimate_delta_t=0.25)
+    out = np.asarray(
+        est.estimate_terminal_with_gradients_td(key, eq, sol, tx, gen_td))
+    assert np.all(np.isfinite(out)), out
+    # Hessian "double" form divides by (T - t) twice
+    out = np.asarray(est.estimate_terminal_with_gradients_and_hessians(
+        key, eq, tx, gen))
+    assert np.all(np.isfinite(out)), out
+
+
+def test_antithetic_odd_m_raises_clear_error():
+    """Antithetic pairing with an odd sample count must raise, not crash
+    with ZeroDivisionError inside the divisor walk."""
+    gen = est.GenConfig(n_estimate_terminal=7, antithetic=True)
+    with pytest.raises(ValueError, match="even sample count"):
+        gen.chunk(7, 4, 3)
+    assert est.largest_divisor(12, 8, 2) == 6
+    assert est.largest_divisor(12, 100, 2) == 12
+    assert est.largest_divisor(5, 1) == 1
+
+
+def test_forced_pallas_flags_are_exact_off_tpu(key):
+    """Forcing pallas_terminal / pallas_generate off-TPU must supply
+    external increments (the interpreter stubs the in-kernel PRNG to
+    zeros): the estimate must carry real MC noise, not collapse to the
+    zero-noise degenerate value (g(x), 0)."""
+    nx = 4
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=1.0, T=1.0)
+    sol = Solution.zero(nx)
+    t = jnp.full((8, 1), 0.3)
+    x = jax.random.normal(key, (8, nx))
+    tx = jnp.concatenate([t, x], axis=-1)
+    m = 4096
+    gen_p = est.GenConfig(n_estimate_terminal=m, n_estimate_integral=m,
+                          chunk_elems=2 ** 16, pallas_terminal=True)
+    out_p = np.asarray(est.estimate_terminal_with_gradients(key, eq, tx,
+                                                            gen_p))
+    degenerate = np.concatenate([np.asarray(eq.g(x)),
+                                 np.zeros((8, nx), np.float32)], axis=-1)
+    assert not np.allclose(out_p, degenerate)
+    # and it must agree with the XLA estimator up to MC error
+    gen_x = est.GenConfig(n_estimate_terminal=m, n_estimate_integral=m,
+                          chunk_elems=2 ** 16)
+    out_x = np.asarray(est.estimate_terminal_with_gradients(
+        jax.random.fold_in(key, 9), eq, tx, gen_x))
+    np.testing.assert_allclose(out_p, out_x, atol=0.15)
+    # merged kernel forced on CPU
+    gen_g = est.GenConfig(n_estimate_terminal=m, n_estimate_integral=m,
+                          chunk_elems=2 ** 16, pallas_generate=True)
+    out_g = np.asarray(est.generate_with_gradients(key, eq, sol, tx, gen_g))
+    out_gx = np.asarray(est.generate_with_gradients(
+        jax.random.fold_in(key, 9), eq, sol, tx, gen_x))
+    np.testing.assert_allclose(out_g, out_gx, atol=0.2)
