@@ -54,8 +54,12 @@ def _pinn_residual(eq, sol: Solution, t, x, key, sdgd_v, num_v_samples):
     u_t, u_x = g_tx[:, 0:1], g_tx[:, 1:]
     if eq.has_hessian_term:
         if sdgd_v:
-            idx = jax.random.randint(key, (t.shape[0], sdgd_v), 0,
-                                     eq.nx, dtype=jnp.int32)
+            # WITHOUT replacement (torch.multinomial(ones, v),
+            # solution.py:439) — unlike the data-generation SDGD draw,
+            # which the reference makes WITH replacement (data.py:501)
+            idx = jax.vmap(
+                lambda kk: jax.random.permutation(kk, eq.nx)[:sdgd_v]
+            )(jax.random.split(key, t.shape[0])).astype(jnp.int32)
             u_ii = diag_hessian_entries(sol, t, x, idx)
         else:
             hess = full_hessian(sol, t, x)
@@ -80,7 +84,12 @@ def train_pinn(runner, key):
     terminal_weight = 0.0 if enforce else float(cfg.TRAIN.LOSS.beta)
     sdgd_v = None
     if cfg.DATA.HESSIAN_APPROXIMATION.method == "SDGD":
-        sdgd_v = int(cfg.DATA.HESSIAN_APPROXIMATION.kwargs["v"])
+        v = (cfg.DATA.HESSIAN_APPROXIMATION.kwargs or {}).get("v")
+        if v is None:
+            raise ValueError(
+                "DATA.HESSIAN_APPROXIMATION.method is SDGD but "
+                "DATA.HESSIAN_APPROXIMATION.kwargs.v is not set")
+        sdgd_v = int(v)
     num_v = int(cfg.METHOD.num_v_samples)
     bs = int(cfg.TRAIN.BATCH_SIZE)
     tx_opt = optax.adam(1e-3)
@@ -104,7 +113,7 @@ def train_pinn(runner, key):
         updates, opt_state = tx_opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    params, opt_state = sol0.params, tx_opt.init(sol0.params)
+    params, opt_state = sol0.params, jit_opt_init(tx_opt)(sol0.params)
     _baseline_loop(runner, key, step, params, opt_state,
                    n_epochs=int(cfg.TRAIN.N_EPOCHS), tag="pinn")
 
@@ -169,7 +178,7 @@ def train_diffusion(runner, key):
         updates, opt_state = tx_opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    params, opt_state = sol0.params, tx_opt.init(sol0.params)
+    params, opt_state = sol0.params, jit_opt_init(tx_opt)(sol0.params)
     _baseline_loop(runner, key, step, params, opt_state,
                    n_epochs=int(cfg.TRAIN.N_EPOCHS), tag="diffusion")
 
@@ -326,29 +335,44 @@ def train_dbdp(runner, key):
     eval_grid = _make_dbdp_eval(u_mod, ts_grid, K, eq)
 
     n_epochs = int(cfg.TRAIN.N_EPOCHS)
+    # ONE persistent Adam state per timestep pair, kept across epochs —
+    # the reference builds optimizer_list once (solution.py:712-731), so
+    # at epoch 2+ each timestep's moments continue rather than restart
+    opt0 = jit_opt_init(tx_opt)(pair_at(stacked, 0))
+    stacked_opt = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a] * (K + 1)), opt0)
+
+    def opt_at(kk):
+        return jax.tree_util.tree_map(lambda a: a[kk], stacked_opt)
+
     step_counter = 0
+    runner.progress.start_iteration(runner.i, n_epochs * K)
     for epoch in range(n_epochs):
         kep = jax.random.fold_in(key, 31 + epoch)
         if not enforce:
             pair = pair_at(stacked, K)
-            opt_state = jit_opt_init(tx_opt)(pair)
-            pair, opt_state, loss = terminal_fit(kep, pair, opt_state)
+            pair, opt_state, loss = terminal_fit(kep, pair, opt_at(K))
             stacked = jax.tree_util.tree_map(
                 lambda a, b: a.at[K].set(b), stacked, pair)
+            stacked_opt = jax.tree_util.tree_map(
+                lambda a, b: a.at[K].set(b), stacked_opt, opt_state)
         for kk in range(K, 0, -1):
             if kk < K:  # warm start from step k (solution.py:829-831)
                 stacked = jax.tree_util.tree_map(
                     lambda a: a.at[kk - 1].set(a[kk]), stacked)
             pair_prev = pair_at(stacked, kk - 1)
             pair_next = pair_at(stacked, kk)
-            opt_state = jit_opt_init(tx_opt)(pair_prev)
             kkk = jax.random.fold_in(kep, kk)
             pair_prev, opt_state, loss = substeps_k(
-                kkk, pair_prev, opt_state, pair_next, jnp.asarray(kk),
+                kkk, pair_prev, opt_at(kk - 1), pair_next, jnp.asarray(kk),
                 jnp.asarray(kk == K))
             stacked = jax.tree_util.tree_map(
                 lambda a, b: a.at[kk - 1].set(b), stacked, pair_prev)
+            stacked_opt = jax.tree_util.tree_map(
+                lambda a, b: a.at[kk - 1].set(b), stacked_opt, opt_state)
             step_counter += num_sub_iter
+            runner.progress.update_train(epoch * K + (K - kk + 1),
+                                         float(loss))
             runner.logger.log({"loss": float(loss), "k": kk, "epoch": epoch},
                               step_counter, context="dbdp")
             if eq.has_exact_solution:
@@ -356,7 +380,37 @@ def train_dbdp(runner, key):
                 runner.logger.log(em, step_counter, context="eval")
     # persist the stacked nets
     ckpt.save_params(ckpt.ckpt_path(runner.exp_dir, runner.i), stacked)
+    # a single u(t, x) view over the per-timestep nets (nearest grid time,
+    # how the reference evaluates its net list, solution.py:856-886) so
+    # runner.u_current / eval_solution see the trained DBDP solution
+    # instead of the initial zero solution
+    runner.u_current = Solution.from_net(
+        _DBDPGridModule(u_mod, ts_grid, K, dt, eq), stacked, "Value", eq.nx)
     return stacked
+
+
+class _DBDPGridModule:
+    """Module-like view of the stacked DBDP nets: u(t, x) evaluates the
+    value net at the nearest time-grid index (EnforceTerminal form
+    g(x) + (T - t_k) NN_k(x)). Used only for evaluation — cost is one
+    pass per grid net, gathered per sample."""
+
+    __slots__ = ("u_mod", "ts_grid", "K", "dt", "eq")
+
+    def __init__(self, u_mod, ts_grid, K, dt, eq):
+        self.u_mod, self.ts_grid = u_mod, ts_grid
+        self.K, self.dt, self.eq = K, dt, eq
+
+    def apply(self, stacked, tx):
+        t, x = tx[..., 0:1], tx[..., 1:]
+        kk = jnp.clip(jnp.round(t / self.dt).astype(jnp.int32), 0, self.K)
+
+        def per_k(pair_k, t_k):
+            return (self.eq.g(x)
+                    + (self.eq.T - t_k) * self.u_mod.apply(pair_k[0], x))
+
+        us = jax.vmap(per_k)(stacked, self.ts_grid)  # (K+1, B, 1)
+        return jnp.take_along_axis(us, kk[None], axis=0)[0]
 
 
 def _make_dbdp_eval(u_mod, ts_grid, K, eq, n: int = 100):

@@ -52,12 +52,11 @@ from deeppicarditeration_tpu.training.logging import MetricLogger
 from deeppicarditeration_tpu.training.trainer import (
     TrainSpec,
     TrainState,
-    compute_loss,
     make_optimizer,
+    make_step_body,
 )
 from deeppicarditeration_tpu.utils.profiling import step_timer
 from deeppicarditeration_tpu.utils.progress import PicardProgress
-import optax
 
 
 def _fetch_metrics(metrics) -> dict:
@@ -86,7 +85,12 @@ def gen_config_from_cfg(cfg, i: int) -> GenConfig:
     hess = d.HESSIAN_APPROXIMATION
     sdgd_v = None
     if hess.method == "SDGD":
-        sdgd_v = int((hess.kwargs or {}).get("v"))
+        v = (hess.kwargs or {}).get("v")
+        if v is None:
+            raise ValueError(
+                "DATA.HESSIAN_APPROXIMATION.method is SDGD but "
+                "DATA.HESSIAN_APPROXIMATION.kwargs.v is not set")
+        sdgd_v = int(v)
     eps = 0.0
     if ("ByGx" in (d.ESTIMATE_TERMINAL or "")
             or "Joint" in (d.ESTIMATE_INTEGRAL or "")):
@@ -296,21 +300,13 @@ class PicardRunner:
 
     # ------------------------------------------------------------------
     def _make_multi_step(self):
-        module, tx_opt, spec = self.module, self.tx_opt, self.spec
-        needs_value = self._opt_needs_value
+        step_body = make_step_body(self.module, self.tx_opt, self.spec,
+                                   self._opt_needs_value)
 
         def run_steps(state: TrainState, txs, ys, keys):
             def body(st, batch):
                 tx, y, k = batch
-                (loss, metrics), grads = jax.value_and_grad(
-                    lambda p: compute_loss(module, p, tx, y, spec, k),
-                    has_aux=True)(st.params)
-                extra = {"value": loss} if needs_value else {}
-                updates, opt_state = tx_opt.update(grads, st.opt_state,
-                                                   st.params, **extra)
-                params = optax.apply_updates(st.params, updates)
-                return (TrainState(params=params, opt_state=opt_state,
-                                   step=st.step + 1), metrics)
+                return step_body(st, tx, y, k)
 
             state, ms = jax.lax.scan(body, state, (txs, ys, keys))
             last = jax.tree_util.tree_map(lambda x: x[-1], ms)
@@ -324,8 +320,8 @@ class PicardRunner:
         on-device permutation per epoch. Used when EVAL.FREQ is None —
         minimizes host round trips (the per-iteration wall through remote
         dispatch paths is latency-, not compute-, dominated)."""
-        module, tx_opt, spec = self.module, self.tx_opt, self.spec
-        needs_value = self._opt_needs_value
+        step_body = make_step_body(self.module, self.tx_opt, self.spec,
+                                   self._opt_needs_value)
 
         def run_epochs(state: TrainState, ds_tx, ds_y, shuffle_keys,
                        step_keys):
@@ -343,15 +339,7 @@ class PicardRunner:
 
                 def body(s, batch):
                     tx, y, k = batch
-                    (loss, metrics), grads = jax.value_and_grad(
-                        lambda p: compute_loss(module, p, tx, y, spec, k),
-                        has_aux=True)(s.params)
-                    extra = {"value": loss} if needs_value else {}
-                    updates, opt_state = tx_opt.update(
-                        grads, s.opt_state, s.params, **extra)
-                    params = optax.apply_updates(s.params, updates)
-                    return (TrainState(params=params, opt_state=opt_state,
-                                       step=s.step + 1), metrics)
+                    return step_body(s, tx, y, k)
 
                 st, ms = jax.lax.scan(body, st, (txs, ys, keys))
                 return st, jax.tree_util.tree_map(lambda x: x[-1], ms)
@@ -389,7 +377,7 @@ class PicardRunner:
                              "epoch": n_epochs - 1},
                             self.global_step, context="train")
             self.progress.update_train(n_epochs * steps,
-                                       metrics.get("loss"))
+                                       metrics.get("train_loss"))
             return state
 
         run_steps = self._jitted("multi_step", self._make_multi_step)
@@ -413,7 +401,7 @@ class PicardRunner:
                 self.logger.log({**metrics, "iter": self.i, "epoch": epoch},
                                 self.global_step, context="train")
                 self.progress.update_train(epoch * steps + s1,
-                                           metrics.get("loss"))
+                                           metrics.get("train_loss"))
                 if freq and self.equation.has_exact_solution:
                     sol = Solution.from_net(self.module, state.params,
                                             self.net_type, self.equation.nx)

@@ -49,8 +49,11 @@ _OPTIMIZERS = {
 }
 
 
-def make_optimizer(opt_cfg) -> Tuple[optax.GradientTransformation, bool]:
-    """Build optax optimizer (+scheduler). Returns (tx, needs_loss_value).
+def make_optimizer(opt_cfg) -> Tuple[optax.GradientTransformation, object]:
+    """Build optax optimizer (+scheduler). Returns (tx, needs_value) where
+    needs_value is falsy (nothing extra), "value" (update() wants the loss
+    value — ReduceLROnPlateau), or "lbfgs" (update() additionally wants
+    grad and value_fn for the zoom linesearch).
 
     Scheduler mapping from the torch names the reference configs use:
       ReduceLROnPlateau -> optax.contrib.reduce_on_plateau (patience
@@ -103,6 +106,12 @@ def make_optimizer(opt_cfg) -> Tuple[optax.GradientTransformation, bool]:
                 atol=float(sched_kwargs.get("threshold", 1e-4)),
             ),
         )
+    if cls == "LBFGS":
+        # optax.lbfgs's linesearch requires value/grad/value_fn at every
+        # update — the shared step body supplies them for this mode
+        needs_value = "lbfgs"
+    elif needs_value:
+        needs_value = "value"
     return tx, needs_value
 
 
@@ -256,20 +265,38 @@ def compute_loss(module, params, tx, y, spec: TrainSpec, key=None):
     return loss, metrics
 
 
-def make_train_step(module, tx_opt: optax.GradientTransformation,
-                    spec: TrainSpec, needs_value: bool = False,
-                    donate: bool = True) -> Callable:
-    """Build the jitted train step: (state, tx_batch, y_batch, key) -> ..."""
+def make_step_body(module, tx_opt: optax.GradientTransformation,
+                   spec: TrainSpec, needs_value=False) -> Callable:
+    """The canonical unjitted train-step body
+    (state, tx_batch, y_batch, key) -> (state, metrics) — the single
+    definition shared by make_train_step and the fused multi-step /
+    epoch-scan wrappers in training/picard.py. ``needs_value`` is the
+    mode returned by make_optimizer."""
 
-    def step(state: TrainState, tx, y, key):
+    def body(state: TrainState, tx, y, key):
+        def loss_of(p):
+            return compute_loss(module, p, tx, y, spec, key)
+
         (loss, metrics), grads = jax.value_and_grad(
-            lambda p: compute_loss(module, p, tx, y, spec, key),
-            has_aux=True)(state.params)
-        extra = {"value": loss} if needs_value else {}
+            loss_of, has_aux=True)(state.params)
+        extra = {}
+        if needs_value:
+            extra["value"] = loss
+        if needs_value == "lbfgs":
+            extra["grad"] = grads
+            extra["value_fn"] = lambda p: loss_of(p)[0]
         updates, opt_state = tx_opt.update(grads, state.opt_state,
                                            state.params, **extra)
         params = optax.apply_updates(state.params, updates)
         return (TrainState(params=params, opt_state=opt_state,
                            step=state.step + 1), metrics)
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return body
+
+
+def make_train_step(module, tx_opt: optax.GradientTransformation,
+                    spec: TrainSpec, needs_value=False,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step: (state, tx_batch, y_batch, key) -> ..."""
+    body = make_step_body(module, tx_opt, spec, needs_value)
+    return jax.jit(body, donate_argnums=(0,) if donate else ())

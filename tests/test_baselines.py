@@ -93,3 +93,16 @@ def test_dbdp_baseline_runs(tmp_path):
 
     evals = [json.loads(l) for l in logs if '"context": "eval"' in l]
     assert evals and np.isfinite(evals[-1]["rRMSE"])
+    # the runner must hold the TRAINED grid solution afterwards, not the
+    # initial zero solution (review finding: eval of u_current was silent
+    # garbage), and it must beat the zero solution on the value metric
+    assert runner.u_current.kind == "net"
+    from deeppicarditeration_tpu.evaluation.evaluator import eval_solution
+    from deeppicarditeration_tpu.models.solution import Solution
+
+    k = jax.random.PRNGKey(0)
+    m_net = eval_solution(k, runner.u_current, runner.equation, 200)
+    m_zero = eval_solution(k, Solution.zero(runner.equation.nx),
+                           runner.equation, 200)
+    assert np.isfinite(m_net["rRMSE"])
+    assert m_net["rRMSE"] < m_zero["rRMSE"]

@@ -151,3 +151,26 @@ def test_beta_weighting(key):
     l0, _ = compute_loss(mod, params, tx, y, spec0)
     l5, _ = compute_loss(mod, params, tx, y, spec5)
     np.testing.assert_allclose(float(l5) / float(l0), np.exp(5.0), rtol=1e-4)
+
+
+def test_lbfgs_optimizer_trains(key):
+    """LBFGS (zoom linesearch) needs value/grad/value_fn at update();
+    make_step_body must supply them (reference exposes torch LBFGS via
+    TRAIN.OPTIMIZER.cls, solution.py:91-120)."""
+    mod, params = _module_and_params(key, "Value")
+    spec = TrainSpec(net_type="Value", nx=NX, supervise_gradient=False,
+                     scaler_cls="FixedLossScaler",
+                     scaler_kwargs=(("fixed_weight", 0.0),))
+    tx_opt, nv = make_optimizer(
+        {"cls": "LBFGS", "kwargs": {"lr": 1.0}, "SCHEDULER": {"cls": None}})
+    assert nv == "lbfgs"
+    step = make_train_step(mod, tx_opt, spec, nv, donate=False)
+    state = TrainState.create(params, tx_opt)
+    k = jax.random.fold_in(key, 1)
+    tx = jax.random.normal(k, (64, 1 + NX))
+    y = jnp.sum(tx, axis=-1, keepdims=True)
+    losses = []
+    for i in range(20):
+        state, m = step(state, tx, y, jax.random.fold_in(k, i))
+        losses.append(float(m["train_loss"]))
+    assert losses[-1] < losses[0]
