@@ -43,8 +43,11 @@ def main(argv=None):
 
         assert pathlib.Path(args.configfile).exists(), (
             f"config file {args.configfile} does not exist")
-        cfg = load_cfg(args.configfile,
-                       [a.lstrip("-") for a in args.overrides] or None)
+        # strip leading dashes from KEYS only (--KEY value convenience);
+        # stripping values would silently sign-flip negative numbers
+        overrides = [a.lstrip("-") if i % 2 == 0 else a
+                     for i, a in enumerate(args.overrides)]
+        cfg = load_cfg(args.configfile, overrides or None)
         PicardRunner(cfg).run()
     elif args.command == "evaluate":
         from deeppicarditeration_tpu.evaluation.experiment import (

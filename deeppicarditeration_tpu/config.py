@@ -99,21 +99,30 @@ class Config(dict):
         return yaml.safe_dump(self.to_dict(), sort_keys=False)
 
     # --- merging ----------------------------------------------------------
+    # Nodes holding arbitrary user-defined keys (exempt from strict-key
+    # checking): every *.kwargs subtree.
+    _FREEFORM = ("kwargs",)
+
     def merge(self, other: Dict[str, Any], allow_new: bool = True):
-        """Recursively merge ``other`` into self (other wins)."""
+        """Recursively merge ``other`` into self (other wins).
+
+        With allow_new=False a key absent from the default tree raises
+        (yacs "Non-existent config key" parity, so typo'd recipe keys
+        fail loudly) — except inside free-form ``kwargs`` subtrees."""
         if object.__getattribute__(self, "_frozen"):
             raise FrozenConfigError("Config is frozen; cannot merge")
         for k, v in other.items():
             if isinstance(v, dict) and isinstance(self.get(k), Config):
-                self[k].merge(v, allow_new=allow_new)
+                self[k].merge(v, allow_new=allow_new or k in self._FREEFORM)
             else:
                 if not allow_new and k not in self:
-                    raise KeyError(f"Unknown config key: {k}")
+                    raise KeyError(f"Non-existent config key: {k}")
                 self[k] = self._wrap(v)
         return self
 
     def merge_from_list(self, override: List[str]):
-        """Merge ``["KEY.SUBKEY", "value", ...]`` pairs (CLI overrides)."""
+        """Merge ``["KEY.SUBKEY", "value", ...]`` pairs (CLI overrides).
+        Unknown keys raise unless under a free-form kwargs subtree."""
         assert len(override) % 2 == 0, "override list must be key/value pairs"
         for key, raw in zip(override[::2], override[1::2]):
             key = key.lstrip("-")
@@ -121,6 +130,9 @@ class Config(dict):
             parts = key.split(".")
             for p in parts[:-1]:
                 node = node[p]
+            if (parts[-1] not in node
+                    and not any(p in self._FREEFORM for p in parts[:-1])):
+                raise KeyError(f"Non-existent config key: {key}")
             node[parts[-1]] = _parse_value(raw)
         return self
 
@@ -315,7 +327,7 @@ def load_cfg(cfg_file, override: Optional[List[str]] = None) -> Config:
         raw.pop("BASE", None)
         if "NAME" in raw:
             names.append(raw["NAME"])
-        cfg.merge(raw)
+        cfg.merge(raw, allow_new=False)
     cfg.NAME = "_".join(names) if names else cfg.NAME
     cfg.BASE = None
 

@@ -73,6 +73,9 @@ def make_equation(name: str, run_seed: int = 0, **kwargs):
     return cls.create(seed=seed, **kwargs)
 
 
+_HAS_EXACT_CACHE: Dict[type, bool] = {}
+
+
 class EquationMethods:
     """Method mixin shared by all equations (no dataclass fields).
 
@@ -164,14 +167,20 @@ class EquationMethods:
 
     @property
     def has_exact_solution(self) -> bool:
-        try:
-            nx = self.nx
-            t = jnp.zeros((1, 1))
-            x = jnp.zeros((1, nx))
-            self.exact_solution(t, x)
-            return True
-        except NotImplementedError:
-            return False
+        # per-class constant, cached: the probe runs a real device
+        # computation (for HJB the full GMM propagation), and callers read
+        # this property inside per-iteration loops
+        cls = type(self)
+        hit = _HAS_EXACT_CACHE.get(cls)
+        if hit is None:
+            try:
+                self.exact_solution(jnp.zeros((1, 1)),
+                                    jnp.zeros((1, self.nx)))
+                hit = True
+            except NotImplementedError:
+                hit = False
+            _HAS_EXACT_CACHE[cls] = hit
+        return hit
 
     def u_x(self, t, x):
         """Gradient of the exact solution; default via batched autodiff."""

@@ -110,7 +110,9 @@ class OUProcessEquation(EquationMethods):
         return -drift - 0.5 * self.alpha * quad - self.nx * self.theta * jnp.ones_like(y)
 
     def fff(self, t, x, y, z):
-        return self.ff(t, x, y, self.alpha_sqrt * z)
+        # base contract: ff(w) = fff(z = sqrt(alpha) w), so fff inverts
+        # the scaling — fff(z) = ff(w = z / sqrt(alpha))
+        return self.ff(t, x, y, z / self.alpha_sqrt)
 
     def ffh(self, t, x, y, w, hess):
         return self.ff(t, x, y, w)

@@ -74,7 +74,8 @@ class ExperimentEvaluator:
             sol = self.get_solution(i)
             rec = monte_carlo_at_zero(jax.random.fold_in(key, i),
                                       self.equation, sol,
-                                      n_estimate=self.n_terminal)
+                                      n_estimate=self.n_terminal,
+                                      n_estimate_integral=self.n_integral)
             rec["iter"] = i
             print(f"{i}: u(0,0)={rec['u_net_at_zero']:.6f}\t"
                   f"Picard Estimate: {rec['u_mc_at_zero']:.6f}")

@@ -26,11 +26,19 @@ def initialize(coordinator_address: Optional[str] = None,
     """Initialize jax.distributed when running multi-process.
 
     Arguments default to the standard env vars (JAX_COORDINATOR_ADDRESS,
-    JAX_NUM_PROCESSES, JAX_PROCESS_ID) or TPU-pod auto-detection. Returns
-    True when distributed mode is active.
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID). On managed multi-host platforms
+    (Cloud TPU pods, SLURM) where jax.distributed can auto-detect
+    everything, set ``DPI_DISTRIBUTED=auto`` to call the bare
+    ``jax.distributed.initialize()`` — auto-detection cannot be the
+    default because the bare call blocks forever on a plain single host.
+    Returns True when distributed mode is active.
     """
     global _initialized
     if _initialized:
+        return True
+    if os.environ.get("DPI_DISTRIBUTED", "").lower() == "auto":
+        jax.distributed.initialize()  # platform auto-detection
+        _initialized = True
         return True
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
@@ -38,11 +46,20 @@ def initialize(coordinator_address: Optional[str] = None,
         os.environ.get("JAX_NUM_PROCESSES", "0") or 0)
     if coordinator_address is None and num_processes <= 1:
         return False  # single-process run
+    if process_id is None:
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if pid is None:
+            # defaulting to 0 on every host would collide all ranks at
+            # the coordinator; fail loudly instead
+            raise RuntimeError(
+                "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES are set but "
+                "JAX_PROCESS_ID is not — set it per host (0..N-1), or use "
+                "DPI_DISTRIBUTED=auto on platforms jax can auto-detect")
+        process_id = int(pid)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes or None,
-        process_id=(process_id if process_id is not None
-                    else int(os.environ.get("JAX_PROCESS_ID", "0"))))
+        process_id=process_id)
     _initialized = True
     return True
 

@@ -75,3 +75,24 @@ def test_frozen_is_recursive_and_clone_defrosts():
     c2 = c.clone()
     c2.TRAIN.BATCH_SIZE = 4
     assert c.TRAIN.BATCH_SIZE == 2048
+
+
+def test_typod_keys_raise(tmp_path):
+    """Unknown keys in a recipe or CLI override fail loudly (yacs
+    'Non-existent config key' parity); *.kwargs subtrees stay free-form."""
+    import pytest
+
+    from deeppicarditeration_tpu.config import load_cfg
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("TRAIN:\n  BATCHSIZE: 4096\n")
+    with pytest.raises(KeyError, match="Non-existent"):
+        load_cfg(bad)
+    ok = tmp_path / "ok.yaml"
+    ok.write_text("EQUATION:\n  kwargs: {whatever_new_param: 3}\n")
+    cfg = load_cfg(ok)
+    assert cfg.EQUATION.kwargs.whatever_new_param == 3
+    with pytest.raises(KeyError, match="Non-existent"):
+        load_cfg(ok, ["TRAIN.BATCHSIZE", "64"])
+    cfg = load_cfg(ok, ["DATA.kwargs.n_estimate_terminal", "4"])
+    assert cfg.DATA.kwargs.n_estimate_terminal == 4

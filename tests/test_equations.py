@@ -269,3 +269,22 @@ def test_problem_instance_stable_across_processes():
     np.testing.assert_allclose(float(np.asarray(fn.w).sum()), sub_w, rtol=0)
     np.testing.assert_allclose(float(np.asarray(ou.gmm_means).sum()), sub_m,
                                rtol=0)
+
+
+def test_ff_fff_scaling_contract():
+    """Base contract (base.py:100-102): ff(w) == fff(z = sqrt(alpha) w) for
+    every equation implementing both — at alpha != 1 so the Sigma scaling
+    direction is actually exercised (regression: HJB fff had it inverted)."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(3)
+    for eq in (make_equation("Cha", nx=4, alpha=2.5, k=1.0, T=1.0),
+               make_equation("OUProcessEquation", nx=4, alpha=2.5,
+                             num_components=2)):
+        t = jnp.full((5, 1), 0.3)
+        x = jax.random.normal(key, (5, 4))
+        y = jnp.ones((5, 1))
+        w = jax.random.normal(jax.random.fold_in(key, 1), (5, 4))
+        lhs = np.asarray(eq.ff(t, x, y, w))
+        rhs = np.asarray(eq.fff(t, x, y, eq.alpha_sqrt * w))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-5, atol=1e-6)
