@@ -83,6 +83,10 @@ def epoch_batches(key, ds: DeviceDataset, batch_size: int,
     ragged tail (as torch DataLoader(drop_last) would)."""
     n = ds.size
     steps = n // batch_size
+    if steps == 0:
+        raise ValueError(
+            f"TRAIN.BATCH_SIZE ({batch_size}) exceeds the dataset size "
+            f"({n}); no full batch can be formed (drop_last semantics)")
     idx = (jax.random.permutation(key, n) if shuffle
            else jnp.arange(n))[: steps * batch_size]
     tx = jnp.take(ds.tx, idx, axis=0).reshape(steps, batch_size, -1)

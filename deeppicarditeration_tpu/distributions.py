@@ -48,9 +48,10 @@ class DiagGaussianMixture:
     """Mixture of K diagonal Gaussians.
 
     means: (K, n); vars: (K, n); log_weights: (K,).
-    Supports per-sample parameter batches: means/vars/log_weights may carry
-    leading batch dims matching x (used by the OU exact solution, where the
-    mixture parameters depend on each sample's t).
+    ``log_prob``/``grad_log_prob`` also support per-sample parameter
+    batches: means/vars/log_weights may carry leading batch dims matching x
+    (used by the OU exact solution, where the mixture parameters depend on
+    each sample's t). ``sample`` requires unbatched (K, n) parameters.
     """
 
     means: jnp.ndarray
@@ -85,6 +86,11 @@ class DiagGaussianMixture:
         return jnp.sum(resp[..., None] * comp_grad, axis=-2)
 
     def sample(self, key, n: int) -> jnp.ndarray:
+        if self.means.ndim != 2:
+            raise ValueError(
+                "DiagGaussianMixture.sample supports only unbatched (K, n) "
+                "parameters; per-sample batched mixtures (e.g. gmm_at(tau)) "
+                "expose log_prob/grad_log_prob only")
         k_comp, k_norm = jax.random.split(key)
         idx = jax.random.categorical(k_comp, self.log_weights, shape=(n,))
         mean = self.means[idx]  # (n_samples, dim)

@@ -20,13 +20,29 @@ from deeppicarditeration_tpu.models.solution import (
 from deeppicarditeration_tpu.utils.static_fn import StaticFn
 
 
+# NETWORK.cls values with a construction branch here. The reference accepts
+# any class in solution.py / solution_enforce_terminal.py and raises
+# ValueError otherwise (picard_iteration.py:96-102); unknown names MUST fail
+# loudly — a silent fallback to a plain MLP would drop e.g. the terminal
+# anchoring while is_enforce_terminal() still reported it as present.
+_KNOWN_NETWORK_CLS = (None, "PicardSolution", "PicardSolutionEnforceTerminal")
+
+
 def build_network(cfg, eq):
     """Build the flax module described by cfg.NETWORK for equation eq."""
     net_cfg = cfg.NETWORK
+    if net_cfg.cls not in _KNOWN_NETWORK_CLS:
+        raise ValueError(
+            f"Unknown solution class {net_cfg.cls!r} "
+            f"(known: {_KNOWN_NETWORK_CLS}; picard_iteration.py:102)")
     net_type = net_cfg.TYPE
     out_dim = output_dim_for(net_type, eq.nx)
     neurons = tuple(net_cfg.NEURONS)
     activations = tuple(net_cfg.ACTIVATIONS)
+    if len(activations) != len(neurons):
+        raise ValueError(
+            f"NETWORK.ACTIVATIONS has {len(activations)} entries for "
+            f"{len(neurons)} NEURONS — lengths must match")
     bound = net_cfg.BOUND
 
     if net_cfg.PISGRADNET:
@@ -70,5 +86,7 @@ def init_solution(key, cfg, eq, module=None) -> Solution:
 
 
 def is_enforce_terminal(cfg) -> bool:
-    return bool(cfg.NETWORK.cls and "EnforceTerminal" in cfg.NETWORK.cls) \
+    # Exact match on the same class table build_network dispatches on, so
+    # the two can never disagree about whether the ansatz anchors g.
+    return cfg.NETWORK.cls == "PicardSolutionEnforceTerminal" \
         or bool(cfg.NETWORK.PISGRADNET)

@@ -138,12 +138,12 @@ class Solution:
         if self.kind == "gx":
             u, vjp = jax.vjp(self.gfn, x)
             return u, vjp(jnp.ones_like(u))[0]
-        tx = jnp.concatenate([jnp.broadcast_to(t, x[..., :1].shape), x],
-                             axis=-1)
-        out = self(tx)
-        if self.net_type == VALUE_GRADIENT:
-            return out[..., 0:1], out[..., 1:]
-        if self.net_type == ONLY_GRADIENT:
+        if self.net_type in (VALUE_GRADIENT, ONLY_GRADIENT):
+            tx = jnp.concatenate([jnp.broadcast_to(t, x[..., :1].shape), x],
+                                 axis=-1)
+            out = self(tx)
+            if self.net_type == VALUE_GRADIENT:
+                return out[..., 0:1], out[..., 1:]
             return jnp.zeros(x.shape[:-1] + (1,), x.dtype), out
 
         def u_of_x(xx):

@@ -368,9 +368,10 @@ class PicardRunner:
                                             n_epochs)
             step_keys = jax.random.split(jax.random.fold_in(key, 1),
                                          n_epochs)
-            with step_timer("train[fused]"):
+            with step_timer("train[fused]") as tm:
                 state, metrics = run_epochs(state, ds.tx, ds.y,
                                             shuffle_keys, step_keys)
+                tm.set(metrics)
             self.global_step += n_epochs * steps
             metrics = _fetch_metrics(metrics)
             self.logger.log({**metrics, "iter": self.i,
@@ -393,9 +394,10 @@ class PicardRunner:
             seg = int(freq) if freq else steps
             for s0 in range(0, steps, seg):
                 s1 = min(s0 + seg, steps)
-                with step_timer(f"train[{s0}:{s1}]"):
+                with step_timer(f"train[{s0}:{s1}]") as tm:
                     state, metrics = run_steps(state, txs[s0:s1], ys[s0:s1],
                                                keys[s0:s1])
+                    tm.set(metrics)
                 self.global_step += s1 - s0
                 metrics = _fetch_metrics(metrics)
                 self.logger.log({**metrics, "iter": self.i, "epoch": epoch},
@@ -454,9 +456,10 @@ class PicardRunner:
 
         gen = gen_config_from_cfg(cfg, self.i)
         mode = self.generation_mode
-        with step_timer(f"generate[iter {self.i}]"):
+        with step_timer(f"generate[iter {self.i}]") as tm:
             ds = self._make_dataset(jax.random.fold_in(key_iter, 1), gen,
                                     mode)
+            tm.set(ds.y)
         self.progress.start_iteration(
             self.i, int(cfg.TRAIN.N_EPOCHS) * (ds.size
                                                // int(cfg.TRAIN.BATCH_SIZE)))

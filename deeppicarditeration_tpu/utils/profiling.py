@@ -13,21 +13,49 @@ import os
 import time
 
 import jax
+import numpy as np
 
 _ENABLED = bool(os.environ.get("DPI_PROFILE"))
 _TRACE_DIR = os.environ.get("DPI_TRACE_DIR")
 
 
+class _ResultHolder:
+    """Mutable slot so a value computed INSIDE the timed region can be
+    blocked on at region exit (a plain kwarg is evaluated at entry and can
+    never see it)."""
+
+    __slots__ = ("result",)
+
+    def __init__(self):
+        self.result = None
+
+    def set(self, result):
+        self.result = result
+        return result
+
+
 @contextlib.contextmanager
-def step_timer(label: str, result=None):
-    """Time a region. Pass ``result`` (any pytree of arrays) to block on it."""
+def step_timer(label: str):
+    """Time a region. Yields a holder; call ``holder.set(x)`` on a pytree of
+    arrays computed in the region to make the timer wait for it.
+
+    Completion is forced by a host readback of one leaf, not just
+    block_until_ready — through the remote-TPU tunnel block_until_ready is
+    not a reliable barrier (CLAUDE.md "Environment gotchas")."""
+    holder = _ResultHolder()
     if not _ENABLED:
-        yield
+        yield holder
         return
     t0 = time.perf_counter()
-    yield
-    if result is not None:
-        jax.block_until_ready(result)
+    yield holder
+    if holder.result is not None:
+        leaves = jax.tree_util.tree_leaves(holder.result)
+        if leaves:
+            jax.block_until_ready(leaves)
+            # Read ONE element back, not the leaf: a full-array transfer
+            # through the tunnel adds a large constant that would distort
+            # the measurement (CLAUDE.md).
+            np.asarray(jax.numpy.ravel(leaves[0])[:1])
     print(f"[dpi-profile] {label}: {(time.perf_counter() - t0) * 1e3:.3f} ms")
 
 

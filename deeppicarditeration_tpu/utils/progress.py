@@ -32,13 +32,19 @@ class PicardProgress:
         self._progress = None
         if not self.enabled:
             return
-        from rich.progress import (
-            BarColumn,
-            Progress,
-            TextColumn,
-            TimeElapsedColumn,
-            TimeRemainingColumn,
-        )
+        try:
+            # rich is not a hard dependency (today it arrives transitively
+            # via flax); degrade to no progress bars if it is absent.
+            from rich.progress import (
+                BarColumn,
+                Progress,
+                TextColumn,
+                TimeElapsedColumn,
+                TimeRemainingColumn,
+            )
+        except ImportError:
+            self.enabled = False
+            return
 
         self._progress = Progress(
             TextColumn("[progress.description]{task.description}"),

@@ -84,3 +84,14 @@ def test_gmm_batched_params(key):
         np.testing.assert_allclose(float(lp[b, 0]),
                                    float(single.log_prob(x[b][None])[0, 0]),
                                    rtol=1e-5)
+
+
+def test_gmm_sample_rejects_batched_params(key):
+    """sample() indexes the component axis; batched (B, K, n) params would
+    silently draw from wrong rows — it must refuse (review finding)."""
+    import pytest
+
+    gmm = DiagGaussianMixture(jnp.zeros((3, 2, 4)), jnp.ones((3, 2, 4)),
+                              jnp.zeros((3, 2)))
+    with pytest.raises(ValueError, match="unbatched"):
+        gmm.sample(key, 5)

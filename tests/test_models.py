@@ -90,3 +90,22 @@ def test_zero_and_gx_solutions(key):
     u, ux = gxs.value_and_grad_x(tx[:, :1], tx[:, 1:])
     np.testing.assert_allclose(np.asarray(ux), np.asarray(eq.g_x(tx[:, 1:])),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_factory_rejects_unknown_cls(key):
+    """Unknown NETWORK.cls must raise (picard_iteration.py:102 parity), not
+    silently fall through to a plain MLP that drops terminal anchoring."""
+    eq = make_equation("Cha", nx=NX, alpha=1.0, k=3.0)
+    cfg = default_cfg()
+    cfg.NETWORK.cls = "MLPEnforceTerminal"  # real reference name, not ours
+    with pytest.raises(ValueError, match="Unknown solution class"):
+        build_network(cfg, eq)
+
+
+def test_factory_rejects_activation_length_mismatch(key):
+    eq = make_equation("Cha", nx=NX, alpha=1.0, k=3.0)
+    cfg = default_cfg()
+    cfg.NETWORK.NEURONS = [8, 8, 8]
+    cfg.NETWORK.ACTIVATIONS = ["ELU", "ELU"]
+    with pytest.raises(ValueError, match="must match"):
+        build_network(cfg, eq)

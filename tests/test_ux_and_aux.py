@@ -153,3 +153,32 @@ def test_metric_logger_no_writer_available(tmp_path, monkeypatch):
     lg.close()
     assert lg._tb is None
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_step_timer_holder_blocks_on_region_result(monkeypatch, capsys):
+    """step_timer yields a holder so values computed INSIDE the region are
+    waited on (the old result kwarg was evaluated at entry — review
+    finding)."""
+    from deeppicarditeration_tpu.utils import profiling
+
+    monkeypatch.setattr(profiling, "_ENABLED", True)
+    with profiling.step_timer("unit") as tm:
+        out = jnp.arange(8.0) * 2.0
+        assert tm.set(out) is out
+    assert "[dpi-profile] unit:" in capsys.readouterr().out
+    # disabled path still yields a working holder
+    monkeypatch.setattr(profiling, "_ENABLED", False)
+    with profiling.step_timer("unit2") as tm:
+        tm.set(out)
+    assert "unit2" not in capsys.readouterr().out
+
+
+def test_epoch_batches_rejects_oversized_batch(key):
+    from deeppicarditeration_tpu.data.dataset import DeviceDataset, epoch_batches
+    import pytest
+
+    ds = DeviceDataset(tx=jnp.zeros((4, 3)), y=jnp.zeros((4, 1)))
+    with pytest.raises(ValueError, match="BATCH_SIZE"):
+        epoch_batches(key, ds, batch_size=8)
+    tx, y = epoch_batches(key, ds, batch_size=2)
+    assert tx.shape == (2, 2, 3) and y.shape == (2, 2, 1)
