@@ -8,9 +8,12 @@ last and may not touch ``BASE``; the result is frozen.
 
 The schema keeps the reference's key layout (EQUATION/METHOD/PICARD/TRAIN/
 NETWORK/DATA/EVAL/LOGGING) so reference users can port run recipes
-unchanged, minus the GPU-memory-probing keys (static shapes make them
-meaningless on TPU, survey §5.3) and plus TPU-specific keys (MESH, chunking,
-precision policy).
+unchanged: the GPU-memory-probing / DataLoader keys those recipes carry
+(NEW_SAMPLING, N_WORKERS, MEMORY.*, PRELOAD, ...) are meaningless under
+static-shape jit and are accepted-and-warned (_OBSOLETE_KEYS — the
+reference's own deprecation-shim pattern, config.py:119-125); every YAML
+under /root/reference/scripts loads as-is (tests/test_config.py). TPU-
+specific keys (MESH, chunking, precision policy) are additions.
 """
 
 from __future__ import annotations
@@ -149,6 +152,13 @@ def _parse_value(raw: str) -> Any:
         return ast.literal_eval(raw)
     except (ValueError, SyntaxError):
         return raw
+
+
+def wants_float64(float_value) -> bool:
+    """DATA.FLOAT string table (reference get_standard_float_dtype,
+    config.py:170-195): truthy for the double family."""
+    return str(float_value).strip().lower() in (
+        "double", "float64", "f64", "64")
 
 
 def default_cfg() -> Config:
@@ -294,9 +304,71 @@ def default_cfg() -> Config:
     return c
 
 
+# Reference config keys accepted for recipe compatibility but with no TPU
+# meaning (reference compatibility_check analogue, config.py:119-125): the
+# GPU-memory-autosizing / DataLoader-worker machinery collapses under
+# static-shape jit generation (survey §7.1.3), and USE_T_EMBEDDING is dead
+# in the reference itself (defined config.py:64, never read). These are
+# stripped from loaded YAMLs with a warning so every shipped reference
+# recipe loads unchanged; dotted paths name either a leaf or a whole
+# subtree.
+_OBSOLETE_KEYS = {
+    "DATA.N_WORKERS": "DataLoader workers — generation is one sharded jit",
+    "DATA.PREFETCH_FACTOR": "DataLoader prefetch — no host dataloader",
+    "DATA.PRELOAD": "cache preload — the dataset is HBM-resident",
+    "DATA.PRELOAD_N_WORKERS": "cache preload — the dataset is HBM-resident",
+    "DATA.NEW_SAMPLING": "OOM-probe chunk sizing — DATA.CHUNK_ELEMS is "
+                         "static and exact under jit",
+    "DATA.N_BUFFER": "buffer autosizing — static shapes",
+    "DATA.RESERVED_MEMORY": "GPU-memory reservation — no CUDA allocator",
+    "DATA.MEMORY": "GPU-memory autosizing subtree — no CUDA allocator",
+    "NETWORK.USE_T_EMBEDDING": "dead key (never read by the reference "
+                               "either)",
+}
+
+
+def _strip_obsolete(raw: Dict[str, Any], path: str = "",
+                    warned: Optional[set] = None) -> Dict[str, Any]:
+    """Drop-and-warn obsolete reference keys from a raw YAML dict."""
+    import warnings
+
+    out = {}
+    for k, v in (raw or {}).items():
+        p = f"{path}.{k}" if path else k
+        if p in _OBSOLETE_KEYS:
+            if warned is None or p not in warned:
+                warnings.warn(
+                    f"config key {p} is obsolete on TPU ({_OBSOLETE_KEYS[p]})"
+                    "; accepted for reference-recipe compatibility and "
+                    "ignored", stacklevel=2)
+                if warned is not None:
+                    warned.add(p)
+            continue
+        if isinstance(v, dict):
+            v = _strip_obsolete(v, p, warned)
+        out[k] = v
+    return out
+
+
+def _normalize_none(obj):
+    """Map bare "None" strings to null (recursively).
+
+    The reference YAMLs write ``BOUND: None`` / ``PREFETCH_FACTOR: None``,
+    which YAML parses as the *string* 'None'; yacs's type coercion lets
+    those through against None defaults, so recipe files rely on it. Same
+    treatment as CLI overrides (_parse_value)."""
+    if isinstance(obj, dict):
+        return {k: _normalize_none(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_normalize_none(v) for v in obj]
+    if obj in ("None", "none", "null"):
+        return None
+    return obj
+
+
 def _read_yaml(path: pathlib.Path) -> Dict[str, Any]:
     with open(path) as f:
-        return yaml.safe_load(f) or {}
+        return _normalize_none(yaml.safe_load(f) or {})
 
 
 def load_cfg(cfg_file, override: Optional[List[str]] = None) -> Config:
@@ -322,8 +394,9 @@ def load_cfg(cfg_file, override: Optional[List[str]] = None) -> Config:
 
     cfg = default_cfg()
     names = []
+    warned: set = set()
     for raw in reversed(chain):  # deep -> shallow
-        raw = dict(raw)
+        raw = _strip_obsolete(dict(raw), warned=warned)
         raw.pop("BASE", None)
         if "NAME" in raw:
             names.append(raw["NAME"])

@@ -84,8 +84,11 @@ def epoch_batches(key, ds: DeviceDataset, batch_size: int,
     n = ds.size
     steps = n // batch_size
     if steps == 0:
+        # worded in terms of this function's own arguments: batch_size may
+        # come from TRAIN.BATCH_SIZE or a baseline METHOD key — the caller
+        # adds the config-key context
         raise ValueError(
-            f"TRAIN.BATCH_SIZE ({batch_size}) exceeds the dataset size "
+            f"batch_size ({batch_size}) exceeds the dataset size "
             f"({n}); no full batch can be formed (drop_last semantics)")
     idx = (jax.random.permutation(key, n) if shuffle
            else jnp.arange(n))[: steps * batch_size]

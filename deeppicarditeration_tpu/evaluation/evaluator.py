@@ -245,7 +245,11 @@ def monte_carlo_at_sharded(key, eq, sol: Solution, gen: est.GenConfig,
     tx = jnp.concatenate([t_r, x_r], axis=-1)
     tx = jax.device_put(tx, rows_sharding)
 
-    ckey = ("mc_sharded", gen_shard, b, n_dev, id(mesh))
+    # stable mesh descriptor, NOT id(mesh): an id can be reused after GC,
+    # silently returning a jit bound to a dead mesh's sharding
+    mesh_key = (mesh.axis_names, mesh.devices.shape,
+                tuple(d.id for d in mesh.devices.flat))
+    ckey = ("mc_sharded", gen_shard, b, n_dev, mesh_key)
     run = _EVAL_BATCH_CACHE.get(ckey)
     if run is None:
         def run_fn(k, e, s, tx_in):

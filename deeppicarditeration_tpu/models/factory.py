@@ -29,12 +29,24 @@ _KNOWN_NETWORK_CLS = (None, "PicardSolution", "PicardSolutionEnforceTerminal")
 
 
 def build_network(cfg, eq):
-    """Build the flax module described by cfg.NETWORK for equation eq."""
+    """Build the flax module described by cfg.NETWORK for equation eq.
+
+    Parameter dtype follows DATA.FLOAT when the double family is requested
+    AND JAX x64 is active (the CPU-backend path PicardRunner enables;
+    reference set_default_dtype parity, config.py:170-195) — on TPU the
+    request stays f32 per the PRECISION.md policy."""
+    import jax as _jax
+
+    from deeppicarditeration_tpu.config import wants_float64
+
     net_cfg = cfg.NETWORK
     if net_cfg.cls not in _KNOWN_NETWORK_CLS:
         raise ValueError(
             f"Unknown solution class {net_cfg.cls!r} "
             f"(known: {_KNOWN_NETWORK_CLS}; picard_iteration.py:102)")
+    param_dtype = (jnp.float64 if (wants_float64(cfg.DATA.FLOAT)
+                                   and _jax.config.jax_enable_x64)
+                   else jnp.float32)
     net_type = net_cfg.TYPE
     out_dim = output_dim_for(net_type, eq.nx)
     neurons = tuple(net_cfg.NEURONS)
@@ -48,10 +60,11 @@ def build_network(cfg, eq):
     if net_cfg.PISGRADNET:
         assert net_type == VALUE, "PISGradNet is a value ansatz"
         return PISGradNet(hidden_shapes=neurons, dim=eq.nx,
-                          g0=StaticFn(eq.g, ("g", id(eq))), T=eq.T)
+                          g0=StaticFn(eq.g, ("g", id(eq))), T=eq.T,
+                          param_dtype=param_dtype)
 
     inner = MLP(neurons=neurons, activations=activations, out_dim=out_dim,
-                bound=bound)
+                bound=bound, param_dtype=param_dtype)
     if net_cfg.cls == "PicardSolutionEnforceTerminal":
         if net_type == VALUE:
             anchor = StaticFn(eq.g, ("g", id(eq)))
@@ -87,6 +100,14 @@ def init_solution(key, cfg, eq, module=None) -> Solution:
 
 def is_enforce_terminal(cfg) -> bool:
     # Exact match on the same class table build_network dispatches on, so
-    # the two can never disagree about whether the ansatz anchors g.
+    # the two can never disagree about whether the ansatz anchors g. The
+    # cls validation is repeated here because some callers (the DBDP
+    # baseline builds its own per-timestep modules) never go through
+    # build_network — an unsupported name must fail loudly on every path,
+    # not silently report enforce=False.
+    if cfg.NETWORK.cls not in _KNOWN_NETWORK_CLS:
+        raise ValueError(
+            f"Unknown solution class {cfg.NETWORK.cls!r} "
+            f"(known: {_KNOWN_NETWORK_CLS}; picard_iteration.py:102)")
     return cfg.NETWORK.cls == "PicardSolutionEnforceTerminal" \
         or bool(cfg.NETWORK.PISGRADNET)

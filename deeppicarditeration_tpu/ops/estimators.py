@@ -80,6 +80,14 @@ class GenConfig:
     # the VMEM budget (pallas_kernels.generate_fits_vmem) — the measured
     # net end-to-end win at full-f32 matmul precision (BASELINE.md).
     pallas_generate: object = "auto"
+    # Device mesh for the kernel paths: a pallas_call has no SPMD
+    # partitioning rule, so on a multi-device mesh the merged kernel is
+    # wrapped in jax.shard_map over ``mesh_axis`` (per-device tiles,
+    # per-device seed offsets that reproduce the single-device tile->seed
+    # assignment exactly). None + multiple devices => XLA path (which
+    # shards cleanly under pjit on its own).
+    mesh: Optional[object] = None  # jax.sharding.Mesh (hashable, static)
+    mesh_axis: str = "data"
 
     def chunk(self, m: int, batch: int, nx: int) -> int:
         """Largest divisor of m with batch * chunk * nx <= chunk_elems
@@ -557,30 +565,46 @@ def estimate_terminal_with_gradients_td_bygx(key, eq, sol: Solution, tx,
 # dispatchers (data.py:1203-1223) and two-layer formula (data.py:1328-1379)
 # ---------------------------------------------------------------------------
 
+def _mesh_ndev(gen: GenConfig) -> Optional[int]:
+    """Size of the gen-config mesh's data axis, or None when no mesh."""
+    if gen.mesh is None:
+        return None
+    return int(gen.mesh.shape[gen.mesh_axis])
+
+
 def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
     """Resolve the pallas_generate tri-state (False / True / "auto") to
     a (batch tile, split_chains) pair for the merged kernel, or None for
     the XLA path.
 
     "auto" takes the merged kernel only on the real TPU backend (the CPU
-    Pallas interpreter stubs the hardware PRNG to zeros), only on a
-    single device (a pallas_call has no SPMD partitioning rule, so under
-    a multi-chip pjit it would compute replicated — the XLA scan path
-    shards cleanly there), and only at the largest tile whose working
-    set fits the VMEM budget (wide nets get smaller tiles or the
-    split_chains upgrade; see pallas_kernels.pick_generate_tile)."""
+    Pallas interpreter stubs the hardware PRNG to zeros) and only at the
+    largest tile whose working set fits the VMEM budget (wide nets get
+    smaller tiles or the split_chains upgrade; see
+    pallas_kernels.pick_generate_tile). Multi-device: a pallas_call has
+    no SPMD partitioning rule, so the kernel requires ``gen.mesh`` to
+    shard_map over (tile picked against the PER-DEVICE batch); without a
+    mesh the XLA path (which pjit shards cleanly on its own) is used."""
     mode = gen.pallas_generate
+    if mode is not True and mode != "auto":
+        return None
+    ndev = _mesh_ndev(gen)
+    b_local = b
+    if ndev is not None and ndev > 1:
+        if b % ndev:
+            return None
+        b_local = b // ndev
     if mode is True:
         return 128, False
-    if mode == "auto":
-        if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
-            return None
-        from deeppicarditeration_tpu.ops.pallas_kernels import (
-            pick_generate_tile,
-        )
+    if jax.default_backend() != "tpu":
+        return None
+    if ndev is None and len(jax.devices()) != 1:
+        return None
+    from deeppicarditeration_tpu.ops.pallas_kernels import (
+        pick_generate_tile,
+    )
 
-        return pick_generate_tile(eq, sol, sol.nx, b)
-    return None
+    return pick_generate_tile(eq, sol, sol.nx, b_local)
 
 
 def generate_values(key, eq, sol: Solution, tx, gen: GenConfig):
@@ -599,6 +623,7 @@ def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
         if tile_spec is not None:
             from deeppicarditeration_tpu.ops.pallas_kernels import (
                 generate_with_gradients_pallas,
+                generate_with_gradients_pallas_sharded,
                 seed_from_key,
             )
 
@@ -614,6 +639,14 @@ def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
                                       gen.antithetic)
             ext = ({"noise_t": dt["noise"], "noise_i": di["noise"],
                     "u01": di["u01"]} if dt else {})
+            ndev = _mesh_ndev(gen)
+            if ndev is not None and ndev > 1:
+                return generate_with_gradients_pallas_sharded(
+                    seed_from_key(key, 2), eq, sol, tx,
+                    gen.n_estimate_terminal, mesh=gen.mesh,
+                    axis=gen.mesh_axis, tile_b=tile,
+                    antithetic=gen.antithetic, mxu_precision="bf16x3",
+                    split_chains=split, **ext)
             return generate_with_gradients_pallas(
                 seed_from_key(key, 2), eq, sol, tx,
                 gen.n_estimate_terminal, tile_b=tile,

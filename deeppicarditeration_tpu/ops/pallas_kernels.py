@@ -713,6 +713,76 @@ def generate_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
     return out[:, :1 + nx]
 
 
+def generate_with_gradients_pallas_sharded(seed, eq, sol, tx: jnp.ndarray,
+                                           m: int, *, mesh, axis: str = "data",
+                                           tile_b: int = 128, mblk: int = 8,
+                                           antithetic: bool = False,
+                                           u01: jnp.ndarray | None = None,
+                                           noise_t: jnp.ndarray | None = None,
+                                           noise_i: jnp.ndarray | None = None,
+                                           interpret: bool | None = None,
+                                           mxu_precision: str | None = None,
+                                           split_chains: bool = False):
+    """Multi-device merged estimator: shard_map the kernel over ``axis``.
+
+    A pallas_call has no SPMD partitioning rule, so under a multi-device
+    pjit it would compute the full batch replicated. This wrapper shards
+    the collocation-point axis: each device runs the single-device kernel
+    on its (B / ndev)-row slice. Per-device PRNG decorrelation reproduces
+    the single-device tile->seed assignment exactly — the kernel seeds
+    tile i with ``seed + i`` (pl.program_id), so device d offsets by
+    ``d * local_tiles``: global tile d * local_tiles + i sees the same
+    seed it would in a single-device run at the same tile size, making
+    sharded == single-device bitwise when (B / ndev) admits that tile.
+
+    External noise arrays (the CPU/interpreter exactness path) are data:
+    they shard over ``axis`` alongside tx with no seed bookkeeping.
+
+    eq / sol ride through as replicated shard_map inputs (their array
+    leaves — GMM params, frozen-net weights — must be operands, not
+    closure constants, same as the kernel itself requires).
+    """
+    from jax.sharding import PartitionSpec
+
+    from deeppicarditeration_tpu.ops.estimators import largest_divisor
+
+    ndev = int(mesh.shape[axis])
+    b = tx.shape[0]
+    if b % ndev:
+        raise ValueError(
+            f"batch {b} not divisible by mesh axis {axis!r} size {ndev}")
+    b_local = b // ndev
+    tile = largest_divisor(b_local, tile_b)
+    local_tiles = b_local // tile
+    seed = jnp.asarray(seed, jnp.int32)
+
+    data = PartitionSpec(axis)
+    repl = PartitionSpec()
+    args = [seed, eq, sol, tx]
+    in_specs = [repl, repl, repl, data]
+    external = noise_t is not None
+    if external:
+        args += [u01, noise_t, noise_i]
+        in_specs += [data, data, data]
+
+    def local_fn(seed_in, eq_in, sol_in, tx_l, *ext_l):
+        d = jax.lax.axis_index(axis)
+        seed_l = seed_in + d * local_tiles
+        kw = {}
+        if ext_l:
+            kw = dict(u01=ext_l[0], noise_t=ext_l[1], noise_i=ext_l[2])
+        return generate_with_gradients_pallas(
+            seed_l, eq_in, sol_in, tx_l, m, tile_b=tile, mblk=mblk,
+            antithetic=antithetic, interpret=interpret,
+            mxu_precision=mxu_precision, split_chains=split_chains, **kw)
+
+    # check_vma off: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, which the checker (jax >= 0.9) rejects outright.
+    fn = jax.shard_map(local_fn, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=data, check_vma=False)
+    return fn(*args)
+
+
 def seed_from_key(key, salt: int = 0):
     """Derive an int32 scalar seed from a jax PRNG key (for tpu_normals)."""
     data = jax.random.key_data(key).astype(jnp.uint32)

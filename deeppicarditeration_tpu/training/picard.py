@@ -31,6 +31,7 @@ from deeppicarditeration_tpu.data.dataset import (
     data_save_ext,
     save_dataset,
 )
+from deeppicarditeration_tpu.config import wants_float64
 from deeppicarditeration_tpu.equations import make_equation
 from deeppicarditeration_tpu.evaluation.evaluator import eval_solution
 from deeppicarditeration_tpu.models.factory import (
@@ -79,7 +80,11 @@ def _tri_state(v):
     return bool(v)
 
 
-def gen_config_from_cfg(cfg, i: int) -> GenConfig:
+def gen_config_from_cfg(cfg, i: int, mesh=None) -> GenConfig:
+    """``mesh`` (the runner's device mesh) lets the merged Pallas kernel
+    shard_map over the data axis on multi-device runs (estimators.py
+    _pallas_generate_tile); without it multi-device generation takes the
+    XLA path."""
     d = cfg.DATA
     kwargs = d.kwargs or {}
     hess = d.HESSIAN_APPROXIMATION
@@ -112,6 +117,7 @@ def gen_config_from_cfg(cfg, i: int) -> GenConfig:
         pallas_terminal=bool(d.TPU.PALLAS_TERMINAL),
         pallas_integral=bool(d.TPU.PALLAS_INTEGRAL),
         pallas_generate=_tri_state(d.TPU.PALLAS_GENERATE),
+        mesh=mesh,
     )
 
 
@@ -128,11 +134,24 @@ class PicardRunner:
         matmul_prec = (cfg.get("PRECISION") or {}).get("MATMUL", "default")
         if matmul_prec and matmul_prec != "default":
             jax.config.update("jax_default_matmul_precision", matmul_prec)
-        if str(cfg.DATA.FLOAT).lower() in ("double", "float64", "f64", "64") \
-                and not jax.config.jax_enable_x64:
-            print("DATA.FLOAT: double requested; TPUs have no native f64 — "
-                  "running f32 + Kahan-compensated accumulation "
-                  "(enable JAX x64 on CPU for f64 parity checks)")
+        # DATA.FLOAT drives the end-to-end dtype like the reference's
+        # set_default_dtype (config.py:170-195): on the CPU backend
+        # "double" enables JAX x64 and threads float64 through generation
+        # and network params; TPUs have no native f64, so there the
+        # documented policy is f32 + Kahan-compensated accumulation
+        # (PRECISION.md), announced rather than silently ignored.
+        self.dtype = jnp.float32
+        if wants_float64(cfg.DATA.FLOAT):
+            if jax.default_backend() == "cpu":
+                if not jax.config.jax_enable_x64:
+                    jax.config.update("jax_enable_x64", True)
+                    print("DATA.FLOAT: double — JAX x64 enabled "
+                          "(CPU backend)")
+                self.dtype = jnp.float64
+            else:
+                print("DATA.FLOAT: double requested; TPUs have no native "
+                      "f64 — running f32 + Kahan-compensated accumulation "
+                      "(run on the CPU backend for true f64)")
         self.equation = make_equation(cfg.EQUATION.cls, run_seed=self.seed,
                                       **(cfg.EQUATION.kwargs or {}))
         eq = self.equation
@@ -159,7 +178,10 @@ class PicardRunner:
         self.u_current: Solution = Solution.zero(eq.nx, self.net_type)
         self.u_history: List[Solution] = [self.u_current]
         self.logger = MetricLogger(self.exp_dir, cfg.LOGGING.LOGGER,
-                                   cfg.LOGGING.TENSORBOARD_DIR)
+                                   cfg.LOGGING.TENSORBOARD_DIR,
+                                   name=cfg.NAME,
+                                   logger_kwargs=(cfg.LOGGING.kwargs or {}),
+                                   hparams=cfg.to_dict())
         self.global_step = 0
         self._jit_cache = {}
         self.progress = PicardProgress(self.N, enabled=False)
@@ -275,7 +297,7 @@ class PicardRunner:
                      out_shardings=(shd, shd))
             def sample(k, e, s, s2, expo):
                 return sample_batch(k, e, s, n_total, gen_keyed, mode=mode,
-                                    sol_m2=s2, t_expo=expo)
+                                    sol_m2=s2, dtype=self.dtype, t_expo=expo)
 
             return sample
 
@@ -291,7 +313,8 @@ class PicardRunner:
                                   builder)
         ds = generate_dataset(key, self.equation, self.u_current, n_total,
                               gen, mode, sol_m2=sol_m2,
-                              sharding=self.sharding, jit_sample=jit_sample,
+                              sharding=self.sharding, dtype=self.dtype,
+                              jit_sample=jit_sample,
                               t_expo=float(max(gen.N - gen.i + 1, 1)))
         if cfg.DATA.SAVE:
             ext = data_save_ext(cfg.DATA.SAVE_FORMAT)
@@ -434,6 +457,8 @@ class PicardRunner:
         cfg = self.cfg
         self.i += 1
         key_iter = jax.random.fold_in(self.root_key, self.i)
+        # per-iteration run grouping (wandb backend; no-op otherwise)
+        self.logger.start_iteration(self.i)
 
         if cfg.METHOD.cls in ("PINN", "Diffusion", "FullyNonlinearSolver"):
             from deeppicarditeration_tpu.training import baselines
@@ -454,7 +479,7 @@ class PicardRunner:
             params = ckpt.load_params(ckpt.ckpt_path(self.exp_dir, self.i - 1),
                                       params)
 
-        gen = gen_config_from_cfg(cfg, self.i)
+        gen = gen_config_from_cfg(cfg, self.i, mesh=self.mesh)
         mode = self.generation_mode
         with step_timer(f"generate[iter {self.i}]") as tm:
             ds = self._make_dataset(jax.random.fold_in(key_iter, 1), gen,

@@ -41,7 +41,14 @@ def step_timer(label: str):
 
     Completion is forced by a host readback of one leaf, not just
     block_until_ready — through the remote-TPU tunnel block_until_ready is
-    not a reliable barrier (CLAUDE.md "Environment gotchas")."""
+    not a reliable barrier (CLAUDE.md "Environment gotchas").
+
+    CAVEAT (profiling-only tool): the outside-jit ravel/slice + readback
+    adds one tunnel dispatch (~30 ms, and up to ~290 ms when it breaks a
+    dispatch chain) to every timed region. step_timer numbers therefore
+    carry a near-constant additive offset and are for coarse attribution;
+    they are NOT comparable to bench.py's salt-token methodology, which
+    folds the completion token into the jitted graph itself."""
     holder = _ResultHolder()
     if not _ENABLED:
         yield holder

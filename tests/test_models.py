@@ -102,6 +102,21 @@ def test_factory_rejects_unknown_cls(key):
         build_network(cfg, eq)
 
 
+def test_is_enforce_terminal_rejects_unknown_cls(key):
+    """is_enforce_terminal must fail loudly on unsupported class names too:
+    the DBDP baseline consults it without ever calling build_network, so a
+    config with e.g. cls 'MLPEnforceTerminal' would otherwise silently run
+    with enforce=False (ADVICE r1)."""
+    from deeppicarditeration_tpu.models.factory import is_enforce_terminal
+
+    cfg = default_cfg()
+    cfg.NETWORK.cls = "MLPEnforceTerminal"
+    with pytest.raises(ValueError, match="Unknown solution class"):
+        is_enforce_terminal(cfg)
+    cfg.NETWORK.cls = "PicardSolutionEnforceTerminal"
+    assert is_enforce_terminal(cfg)
+
+
 def test_factory_rejects_activation_length_mismatch(key):
     eq = make_equation("Cha", nx=NX, alpha=1.0, k=3.0)
     cfg = default_cfg()

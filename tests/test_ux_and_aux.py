@@ -155,6 +155,80 @@ def test_metric_logger_no_writer_available(tmp_path, monkeypatch):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+def test_metric_logger_rejects_unknown_backend(tmp_path):
+    import pytest
+
+    from deeppicarditeration_tpu.training.logging import MetricLogger
+
+    with pytest.raises(ValueError, match="not supported"):
+        MetricLogger(tmp_path, logger="mlflow")
+
+
+def test_metric_logger_wandb_missing_degrades(tmp_path, monkeypatch, capsys):
+    """LOGGING.LOGGER wandb without the package installed: clear notice,
+    jsonl still written, no crash (VERDICT r1 item 9)."""
+    import sys
+
+    monkeypatch.setitem(sys.modules, "wandb", None)
+    from deeppicarditeration_tpu.training.logging import MetricLogger
+
+    lg = MetricLogger(tmp_path, logger="wandb")
+    lg.start_iteration(1)
+    lg.log({"rRMSE": 0.1}, step=1)
+    lg.close()
+    assert "wandb" in capsys.readouterr().out
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_metric_logger_wandb_per_iteration_runs(tmp_path, monkeypatch):
+    """With wandb importable, each Picard iteration opens a grouped run
+    named {NAME}_picard_iter_{i}, offline by default
+    (picard_iteration.py:265-276 parity). Exercised with a fake module
+    (the real package is not installed in this zero-egress image)."""
+    import sys
+    import types
+
+    calls = []
+
+    class _Run:
+        def __init__(self, kw):
+            self.kw = kw
+            self.logged = []
+            self.finished = False
+
+        def log(self, metrics, step=None):
+            self.logged.append((metrics, step))
+
+        def finish(self):
+            self.finished = True
+
+    fake = types.ModuleType("wandb")
+
+    def _init(**kw):
+        run = _Run(kw)
+        calls.append(run)
+        return run
+
+    fake.init = _init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    from deeppicarditeration_tpu.training.logging import MetricLogger
+
+    lg = MetricLogger(tmp_path, logger="wandb", name="myexp",
+                      logger_kwargs={"offline": True, "project": "picard"},
+                      hparams={"SEED": 0})
+    lg.start_iteration(1)
+    lg.log({"loss": 1.0}, step=3)
+    lg.start_iteration(2)
+    lg.close()
+    assert [c.kw["name"] for c in calls] == ["myexp_picard_iter_1",
+                                             "myexp_picard_iter_2"]
+    assert all(c.kw["group"] == "myexp" for c in calls)
+    assert all(c.kw["mode"] == "offline" for c in calls)
+    assert calls[0].logged == [({"train/loss": 1.0}, 3)]
+    assert calls[0].finished and calls[1].finished
+    assert calls[0].kw["config"] == {"SEED": 0}
+
+
 def test_step_timer_holder_blocks_on_region_result(monkeypatch, capsys):
     """step_timer yields a holder so values computed INSIDE the region are
     waited on (the old result kwarg was evaluated at entry — review
@@ -178,7 +252,7 @@ def test_epoch_batches_rejects_oversized_batch(key):
     import pytest
 
     ds = DeviceDataset(tx=jnp.zeros((4, 3)), y=jnp.zeros((4, 1)))
-    with pytest.raises(ValueError, match="BATCH_SIZE"):
+    with pytest.raises(ValueError, match="batch_size"):
         epoch_batches(key, ds, batch_size=8)
     tx, y = epoch_batches(key, ds, batch_size=2)
     assert tx.shape == (2, 2, 3) and y.shape == (2, 2, 1)
