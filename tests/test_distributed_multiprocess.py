@@ -1,0 +1,139 @@
+"""Real multi-process jax.distributed test (VERDICT r1 item 2).
+
+Launches TWO OS processes on the CPU backend (4 virtual devices each ->
+8 global devices), connects them through distributed.initialize
+(coordinator on localhost), and runs the production SPMD program over the
+GLOBAL mesh: sharded target generation + one data-parallel train step with
+the gradient psum crossing the process boundary. Ranks must agree bitwise
+on the replicated loss.
+
+The reference has no distributed code at all (survey §5.8); this is the
+framework's multi-host story exercised for real, not just the
+single-process no-op.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+_WORKER = textwrap.dedent("""
+    import json, os, sys
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from deeppicarditeration_tpu.parallel import distributed
+
+    ok = distributed.initialize()
+    assert ok, "distributed.initialize returned False under 2-process env"
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from deeppicarditeration_tpu.equations import make_equation
+    from deeppicarditeration_tpu.models.networks import MLP
+    from deeppicarditeration_tpu.models.solution import Solution
+    from deeppicarditeration_tpu.ops import estimators as est
+    from deeppicarditeration_tpu.training.trainer import (
+        TrainSpec, TrainState, compute_loss)
+
+    nx = 4
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=1.0, T=1.0)
+    module = MLP(neurons=(8,), activations=("Tanh",), out_dim=1)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
+    sol = Solution.from_net(module, params, "Value", nx)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    data_shd = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    # --- generation over the GLOBAL mesh (every process participates) ----
+    gen = est.GenConfig(n_estimate_terminal=16, n_estimate_integral=16,
+                        t_always_uniform=True, chunk_elems=2 ** 12)
+    b = 32
+
+    @jax.jit
+    def generate(key, e, s):
+        tx = est.sample_tx(key, e, b, gen)
+        tx = jax.lax.with_sharding_constraint(tx, data_shd)
+        y = est.generate_with_gradients(key, e, s, tx, gen)
+        return tx, y
+
+    sol_r = jax.device_put(sol, repl)
+    tx, y = generate(jax.random.PRNGKey(1), eq, sol_r)
+    jax.block_until_ready((tx, y))
+
+    # --- one dp train step: grad psum crosses the process boundary -------
+    spec = TrainSpec(net_type="Value", nx=nx, supervise_gradient=True,
+                     scaler_cls="FixedLossScaler",
+                     scaler_kwargs=(("fixed_weight", 1.0),))
+    tx_opt = optax.adam(1e-3)
+    state = jax.device_put(TrainState.create(params, tx_opt), repl)
+
+    @jax.jit
+    def train_step(st, tx_b, y_b):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: compute_loss(module, p, tx_b, y_b, spec),
+            has_aux=True)(st.params)
+        updates, opt_state = tx_opt.update(grads, st.opt_state, st.params)
+        return TrainState(params=optax.apply_updates(st.params, updates),
+                          opt_state=opt_state, step=st.step + 1), loss
+
+    state2, loss = train_step(state, tx, y)
+    jax.block_until_ready(state2)
+    # the loss is replicated: fully-addressable scalar on every process
+    print(json.dumps({{"rank": jax.process_index(),
+                       "loss": float(loss),
+                       "n_global_devices": len(jax.devices()),
+                       "n_local_devices": len(jax.local_devices())}}))
+""")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_train_step():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _WORKER.format(repo=repo)
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(rank)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    results = []
+    for rank, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    assert {r["rank"] for r in results} == {0, 1}
+    assert all(r["n_global_devices"] == 8 for r in results)
+    assert all(r["n_local_devices"] == 4 for r in results)
+    # the replicated loss must agree bitwise across processes
+    assert results[0]["loss"] == results[1]["loss"]
+    import math
+
+    assert math.isfinite(results[0]["loss"])
