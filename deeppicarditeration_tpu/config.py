@@ -263,6 +263,12 @@ def default_cfg() -> Config:
     # (BASELINE.md "Fused Pallas estimator kernels"). Oversized nets
     # (e.g. 4x512 PISGradNet) stay on the XLA scan path automatically.
     c.DATA.TPU.PALLAS_GENERATE = "auto"
+    # In-kernel matmul precision of the merged kernel's frozen-net dots:
+    # bf16x3 (emulated f32; Burgers default — the kernel is VPU-bound
+    # there so the passes are free) | default (1-pass bf16; 3x less MXU
+    # work — the measured choice for MXU-bound wide nets like the HJB
+    # 4x512 PISGradNet) | highest (full f32).
+    c.DATA.TPU.PALLAS_PRECISION = "bf16x3"
     # Baseline K-step path rollouts: fused in-kernel-PRNG+cumsum Pallas
     # path generator (ops/rollout.py). Off: closed-form XLA draw+cumsum
     # (already scan-free; measured on-par — see rollout.py docstring).

@@ -80,6 +80,14 @@ class GenConfig:
     # the VMEM budget (pallas_kernels.generate_fits_vmem) — the measured
     # net end-to-end win at full-f32 matmul precision (BASELINE.md).
     pallas_generate: object = "auto"
+    # In-kernel matmul precision for the merged kernel's frozen-net dots:
+    # "bf16x3" (default; emulated-f32, accuracy-equivalent to
+    # PRECISION.MATMUL highest), "default" (1-pass bf16 — 3x less MXU
+    # work; the right choice when the frozen net is wide enough to make
+    # generation MXU-bound AND the recipe's rRMSE trajectory is measured
+    # unchanged, e.g. HJB 4x512 — see BASELINE.md), or "highest" (full
+    # f32, 6-pass).
+    pallas_precision: str = "bf16x3"
     # Device mesh for the kernel paths: a pallas_call has no SPMD
     # partitioning rule, so on a multi-device mesh the merged kernel is
     # wrapped in jax.shard_map over ``mesh_axis`` (per-device tiles,
@@ -604,7 +612,8 @@ def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
         pick_generate_tile,
     )
 
-    return pick_generate_tile(eq, sol, sol.nx, b_local)
+    return pick_generate_tile(eq, sol, sol.nx, b_local,
+                              antithetic=gen.antithetic)
 
 
 def generate_values(key, eq, sol: Solution, tx, gen: GenConfig):
@@ -645,12 +654,14 @@ def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
                     seed_from_key(key, 2), eq, sol, tx,
                     gen.n_estimate_terminal, mesh=gen.mesh,
                     axis=gen.mesh_axis, tile_b=tile,
-                    antithetic=gen.antithetic, mxu_precision="bf16x3",
+                    antithetic=gen.antithetic,
+                    mxu_precision=gen.pallas_precision,
                     split_chains=split, **ext)
             return generate_with_gradients_pallas(
                 seed_from_key(key, 2), eq, sol, tx,
                 gen.n_estimate_terminal, tile_b=tile,
-                antithetic=gen.antithetic, mxu_precision="bf16x3",
+                antithetic=gen.antithetic,
+                mxu_precision=gen.pallas_precision,
                 split_chains=split, **ext)
     if gen.estimate_delta_t > 0:
         if sol.output_dim == 1:

@@ -22,10 +22,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(shape: Optional[Sequence[int]] = None,
               axes: Sequence[str] = ("data",),
               devices=None) -> Mesh:
-    """Build the run mesh. Default: all visible devices on one data axis."""
+    """Build the run mesh. Default: all visible devices on one data axis.
+
+    An explicit ``shape`` smaller than the device count takes the first
+    prod(shape) devices (e.g. MESH.SHAPE: [1] pins a single-device run on
+    a multi-device host — used by the sharded==single equality tests)."""
     devices = devices if devices is not None else jax.devices()
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axes) - 1)
+    n = int(np.prod(shape))
+    if n < len(devices):
+        devices = devices[:n]
     dev_array = np.asarray(devices).reshape(tuple(shape))
     return Mesh(dev_array, tuple(axes))
 

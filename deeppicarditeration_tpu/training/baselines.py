@@ -8,7 +8,9 @@ framework, survey §3.1).
 
 from __future__ import annotations
 
+import json
 import math
+import time
 from functools import partial
 
 import jax
@@ -30,6 +32,20 @@ from deeppicarditeration_tpu.ops.derivatives import (
 )
 from deeppicarditeration_tpu.training import checkpoint as ckpt
 from deeppicarditeration_tpu.training.trainer import jit_opt_init
+
+
+def _shard(runner, *arrays):
+    """Constrain sampled (B, ...) batches to the runner's mesh data axis.
+
+    The baselines sample their own collocation batches inside the jitted
+    loss, so sharding is a constraint on those draws (threefry is
+    partitionable — each device materializes only its slice) plus
+    replicated params; XLA then psums the gradients over ICI exactly like
+    the Picard path. The loss is a mean over points, so sharded ==
+    single-device up to reduction reassociation (tested)."""
+    shd = runner.sharding
+    out = tuple(jax.lax.with_sharding_constraint(a, shd) for a in arrays)
+    return out if len(out) > 1 else out[0]
 
 
 def run_baseline(runner, key):
@@ -99,11 +115,12 @@ def train_pinn(runner, key):
         kt, kx, kr, kT = jax.random.split(k, 4)
         t = eq.T * jax.random.uniform(kt, (bs, 1))
         x = eq.sample_x(kx, t)
+        t, x = _shard(runner, t, x)
         res = _pinn_residual(eq, sol, t, x, kr, sdgd_v, num_v)
         loss = jnp.mean(res ** 2)
         if terminal_weight > 0.0:
             T = jnp.full((bs, 1), eq.T)
-            xT = eq.sample_x(kT, T)
+            xT = _shard(runner, eq.sample_x(kT, T))
             uT = sol.value(jnp.concatenate([T, xT], axis=-1))
             loss = loss + terminal_weight * jnp.mean((uT - eq.g(xT)) ** 2)
         return loss
@@ -155,6 +172,7 @@ def train_diffusion(runner, key):
         kt, kx, kw, kT = jax.random.split(k, 4)
         t0 = eq.T * jax.random.uniform(kt, (bs, 1))
         x0 = eq.sample_x(kx, t0)
+        t0, x0 = _shard(runner, t0, x0)
         ts, xs, dts = rollout(kw, t0, x0)  # (K+1, B, .)
         v, v_grad = sol.value_and_grad_x(ts, xs)  # (K+1, B, 1/nx)
         if eq.has_gradient_term:
@@ -168,7 +186,7 @@ def train_diffusion(runner, key):
         loss = jnp.mean((v[-1] - v_pred) ** 2)
         if terminal_weight > 0.0:
             T = jnp.full((bs, 1), eq.T)
-            xT = eq.sample_x(kT, T)
+            xT = _shard(runner, eq.sample_x(kT, T))
             uT = sol.value(jnp.concatenate([T, xT], axis=-1))
             loss = loss + terminal_weight * jnp.mean((uT - eq.g(xT)) ** 2)
         return loss
@@ -222,6 +240,7 @@ def train_dbdp(runner, key):
     pairs = [init_pair(jax.random.fold_in(key, 1000 + kk))
              for kk in range(K + 1)]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pairs)
+    stacked = jax.device_put(stacked, runner.repl)  # dp over the mesh
     ts_grid = jnp.arange(K + 1) * dt
 
     def u_at(params_k, t_k, x):
@@ -235,12 +254,18 @@ def train_dbdp(runner, key):
         via the closed-form Brownian path (ops/rollout.py)."""
         from deeppicarditeration_tpu.ops.rollout import brownian_paths
 
-        x = eq.sample_x0(jax.random.fold_in(k, 0), bs)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = _shard(runner, eq.sample_x0(jax.random.fold_in(k, 0), bs))
         t = jnp.zeros((bs, 1))
         dts = jnp.full((bs, 1), dt, x.dtype)
         _, xs, xi = brownian_paths(
             jax.random.fold_in(k, 1), eq, t, x, dts, K,
             use_pallas=bool(cfg.DATA.TPU.PALLAS_ROLLOUT))
+        # paths are (K+1, B, nx): keep B on the mesh data axis
+        path_shd = NamedSharding(runner.mesh, P(None, "data"))
+        xs = jax.lax.with_sharding_constraint(xs, path_shd)
+        xi = jax.lax.with_sharding_constraint(xi, path_shd)
         return xs, xi * math.sqrt(dt)  # (K+1, B, nx), (K, B, nx)
 
     def one_step_loss(pair_prev, pair_next, t_prev, t_next, x, x_next, dW,
@@ -347,6 +372,7 @@ def train_dbdp(runner, key):
 
     step_counter = 0
     runner.progress.start_iteration(runner.i, n_epochs * K)
+    t_start = time.perf_counter()
     for epoch in range(n_epochs):
         kep = jax.random.fold_in(key, 31 + epoch)
         if not enforce:
@@ -373,11 +399,15 @@ def train_dbdp(runner, key):
             step_counter += num_sub_iter
             runner.progress.update_train(epoch * K + (K - kk + 1),
                                          float(loss))
-            runner.logger.log({"loss": float(loss), "k": kk, "epoch": epoch},
+            runner.logger.log({"loss": float(loss), "k": kk, "epoch": epoch,
+                               "wall_time": time.perf_counter() - t_start},
                               step_counter, context="dbdp")
             if eq.has_exact_solution:
                 em = eval_grid(stacked, jax.random.fold_in(kkk, 777))
                 runner.logger.log(em, step_counter, context="eval")
+        # per-epoch periodic save (async) so a killed multi-epoch sweep
+        # keeps its last full backward pass (solution.py:520 parity)
+        ckpt.save_params(ckpt.ckpt_path(runner.exp_dir, runner.i), stacked)
     # persist the stacked nets
     ckpt.save_params(ckpt.ckpt_path(runner.exp_dir, runner.i), stacked)
     # a single u(t, x) view over the per-timestep nets (nearest grid time,
@@ -443,14 +473,47 @@ def _make_dbdp_eval(u_mod, ts_grid, K, eq, n: int = 100):
 # shared epoch loop for PINN / Diffusion
 # ---------------------------------------------------------------------------
 
+def _baseline_state_paths(runner):
+    state_path = (runner.exp_dir / f"baseline_{runner.i}_state").absolute()
+    meta_path = runner.exp_dir / f"baseline_{runner.i}_meta.json"
+    return state_path, meta_path
+
+
 def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
     """Run ``step`` for n_epochs, fused into one jitted lax.scan dispatch
     per log interval (epoch-by-epoch dispatch through a ~30 ms-latency
     remote-TPU path would dominate the wall clock). The per-epoch RNG is
     fold_in(key, epoch) exactly as the unfused loop produced, so loss
-    trajectories are bitwise independent of the chunking."""
+    trajectories are bitwise independent of the chunking.
+
+    Reference parity beyond the final checkpoint (solution.py:479-520,
+    632-645): every log interval saves a periodic {params, opt} state +
+    epoch sidecar (async orbax) and logs cumulative wall time; a killed
+    run restarted with RESUME: true continues from the last periodic save
+    with the optimizer moments intact — the per-epoch RNG makes the
+    continuation bitwise-equal to an uninterrupted run (tested)."""
     cfg, eq = runner.cfg, runner.equation
     log_interval = int(cfg.EVAL.FREQ or 100)
+    params = jax.device_put(params, runner.repl)
+    opt_state = jax.device_put(opt_state, runner.repl)
+
+    state_path, meta_path = _baseline_state_paths(runner)
+    start, wall_base = 0, 0.0
+    if cfg.RESUME and meta_path.exists():
+        try:
+            meta = json.loads(meta_path.read_text())
+            state = ckpt.load_params(state_path, {"params": params,
+                                                  "opt": opt_state})
+            params = jax.device_put(state["params"], runner.repl)
+            opt_state = jax.device_put(state["opt"], runner.repl)
+            start = int(meta["epoch"])
+            wall_base = float(meta.get("wall_time", 0.0))
+            print(f"RESUME: {tag} baseline from epoch {start} "
+                  f"({runner.exp_dir})")
+        except Exception as e:  # uncommitted save from a hard kill
+            print(f"RESUME: periodic {tag} state unusable ({e!r}); "
+                  "starting fresh")
+            start, wall_base = 0, 0.0
 
     @partial(jax.jit, static_argnames=("n",), donate_argnums=(0, 1))
     def run_chunk(params, opt_state, e0, n):
@@ -465,20 +528,28 @@ def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
 
     loss = jnp.zeros(())
     runner.progress.start_iteration(runner.i, n_epochs)
-    for e0 in range(0, n_epochs, log_interval):
+    t_start = time.perf_counter()
+    for e0 in range(start, n_epochs, log_interval):
         n = min(log_interval, n_epochs - e0)
         params, opt_state, loss = run_chunk(params, opt_state,
                                             jnp.asarray(e0), n)
         epoch = e0 + n - 1
+        wall = wall_base + (time.perf_counter() - t_start)
         runner.progress.update_train(e0 + n, float(loss))
-        runner.logger.log({"loss": float(loss), "epoch": epoch},
-                          epoch, context=tag)
+        runner.logger.log({"loss": float(loss), "epoch": epoch,
+                           "wall_time": wall}, epoch, context=tag)
+        # periodic state (async; the final model_{i} below stays
+        # params-only so evaluators/RELOAD see the same layout as Picard)
+        ckpt.save_params(state_path, {"params": params, "opt": opt_state})
+        meta_path.write_text(json.dumps({"epoch": e0 + n,
+                                         "wall_time": wall}))
         if eq.has_exact_solution:
             sol = Solution.from_net(runner.module, params,
                                     runner.net_type, eq.nx)
             em = eval_solution(jax.random.fold_in(key, 900 + epoch), sol,
                                eq, int(cfg.EVAL.L2_N_POINTS),
                                test_grad=bool(cfg.EVAL.TEST_GRAD))
+            em["wall_time"] = wall
             runner.logger.log(em, epoch, context="eval")
     ckpt.save_params(ckpt.ckpt_path(runner.exp_dir, runner.i), params)
     runner.u_current = Solution.from_net(runner.module, params,

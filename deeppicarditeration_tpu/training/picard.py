@@ -117,6 +117,7 @@ def gen_config_from_cfg(cfg, i: int, mesh=None) -> GenConfig:
         pallas_terminal=bool(d.TPU.PALLAS_TERMINAL),
         pallas_integral=bool(d.TPU.PALLAS_INTEGRAL),
         pallas_generate=_tri_state(d.TPU.PALLAS_GENERATE),
+        pallas_precision=str(d.TPU.get("PALLAS_PRECISION", "bf16x3")),
         mesh=mesh,
     )
 

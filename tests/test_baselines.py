@@ -78,6 +78,104 @@ def test_diffusion_baseline_runs_and_improves(tmp_path):
     assert m["rRMSE"] < 0.5, m
 
 
+def _final_loss(exp_dir, context):
+    import json
+
+    recs = [json.loads(l)
+            for l in (exp_dir / "metrics.jsonl").read_text().splitlines()]
+    return [r for r in recs if r["context"] == context][-1]["loss"]
+
+
+@pytest.mark.parametrize("method,ctx", [("PINN", "pinn"),
+                                        ("Diffusion", "diffusion")])
+def test_baseline_sharded_matches_single_device(tmp_path, method, ctx):
+    """PINN/Diffusion batches now route through the runner mesh: the loss
+    on the 8-device mesh must equal the single-device loss (threefry draws
+    are partitionable; the loss is a mean over points) up to reduction
+    reassociation (VERDICT r1 item 5)."""
+    losses = {}
+    for tag, shape in (("single", [1]), ("mesh8", None)):
+        cfg = _base_cfg(f"{ctx}_{tag}", method, epochs=30)
+        cfg.METHOD.num_v_samples = 4
+        cfg.METHOD.K = 5
+        cfg.METHOD.dt = 0.02
+        cfg.TRAIN.BATCH_SIZE = 64
+        cfg.EVAL.FREQ = 30
+        cfg.MESH.SHAPE = shape
+        runner = PicardRunner(cfg, exp_root=tmp_path)
+        assert runner.mesh.devices.size == (1 if shape == [1] else 8)
+        runner.run_one()
+        losses[tag] = _final_loss(runner.exp_dir, ctx)
+    np.testing.assert_allclose(losses["single"], losses["mesh8"],
+                               rtol=2e-4)
+
+
+def test_dbdp_sharded_matches_single_device(tmp_path):
+    """DBDP path sampling + per-timestep fits over the mesh == single."""
+    losses = {}
+    for tag, shape in (("single", [1]), ("mesh8", None)):
+        cfg = _base_cfg(f"dbdp_{tag}", "FullyNonlinearSolver", epochs=1)
+        cfg.EQUATION.cls = "GBMEquationComplexExact"
+        cfg.EQUATION.kwargs = {"nx": 3, "alpha": 1.0, "T": 0.2}
+        cfg.METHOD.dt = 0.05  # K = 4
+        cfg.METHOD.num_sub_iter = 10
+        cfg.TRAIN.BATCH_SIZE = 64
+        cfg.MESH.SHAPE = shape
+        runner = PicardRunner(cfg, exp_root=tmp_path)
+        runner.run_one()
+        losses[tag] = _final_loss(runner.exp_dir, "dbdp")
+    np.testing.assert_allclose(losses["single"], losses["mesh8"],
+                               rtol=2e-4)
+
+
+def test_pinn_periodic_checkpoint_resume_bitwise(tmp_path):
+    """Killed-and-resumed PINN == uninterrupted run: the periodic
+    {params, opt} save plus per-epoch RNG makes the continuation exact
+    (VERDICT r1 item 6). Simulates the kill by running half the epochs
+    and deleting the final model checkpoint."""
+    import shutil
+
+    def cfg_for(name, epochs, resume=False):
+        cfg = _base_cfg(name, "PINN", epochs=epochs)
+        cfg.METHOD.num_v_samples = 4
+        cfg.TRAIN.BATCH_SIZE = 64
+        cfg.EVAL.FREQ = 10
+        if resume:
+            cfg.FORCE = False
+            cfg.RESUME = True
+        return cfg
+
+    # uninterrupted 40-epoch run
+    r_full = PicardRunner(cfg_for("pinn_resume_full", 40), exp_root=tmp_path)
+    r_full.run_one()
+    full_leaves = jax.tree_util.tree_leaves(r_full.u_current.params)
+
+    # "killed" after 20 epochs: periodic state exists, final ckpt gone
+    r_half = PicardRunner(cfg_for("pinn_resume_half", 20), exp_root=tmp_path)
+    r_half.run_one()
+    from deeppicarditeration_tpu.training import checkpoint as ckpt_mod
+
+    ckpt_mod.wait_all()
+    shutil.rmtree(ckpt_mod.ckpt_path(r_half.exp_dir, 1))
+    meta = (r_half.exp_dir / "baseline_1_meta.json").read_text()
+    assert '"epoch": 20' in meta
+
+    # resume to 40 — must land bitwise on the uninterrupted params
+    r_res = PicardRunner(cfg_for("pinn_resume_half", 40, resume=True),
+                         exp_root=tmp_path)
+    r_res.run_one()
+    res_leaves = jax.tree_util.tree_leaves(r_res.u_current.params)
+    for a, b in zip(full_leaves, res_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # cumulative wall time is logged
+    import json
+
+    recs = [json.loads(l) for l in
+            (r_res.exp_dir / "metrics.jsonl").read_text().splitlines()
+            if '"context": "pinn"' in l]
+    assert all("wall_time" in r for r in recs)
+
+
 def test_dbdp_baseline_runs(tmp_path):
     cfg = _base_cfg("dbdp_smoke", "FullyNonlinearSolver", epochs=1)
     cfg.EQUATION.cls = "GBMEquationComplexExact"

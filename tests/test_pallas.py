@@ -269,7 +269,7 @@ def test_generate_vmem_fit_heuristic():
     big_mod = PISGradNet(hidden_shapes=(512, 512, 512, 512), dim=nx,
                          g0=eq_hjb.g, T=1.0)
     big_params = big_mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
-    big = Solution.from_net(big_mod, big_params, "ValueGradient", nx)
+    big = Solution.from_net(big_mod, big_params, "Value", nx)
     assert not generate_fits_vmem(eq, big, nx)
     assert generate_vmem_bytes(eq, big, nx) > generate_vmem_bytes(
         eq, small, nx)
@@ -304,11 +304,55 @@ def test_pick_generate_tile_by_net_size():
     big_mod = PISGradNet(hidden_shapes=(512, 512, 512, 512), dim=nx,
                          g0=eq_hjb.g, T=1.0)
     big_params = big_mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
-    big = Solution.from_net(big_mod, big_params, "ValueGradient", nx)
+    big = Solution.from_net(big_mod, big_params, "Value", nx)
     spec = pick_generate_tile(eq_hjb, big, nx, 4096)
     # wide net: reduced tile, upgraded to tile-32 split_chains (measured
     # 5.6% over merged tile 16; probe_hjb_tiles.py)
     assert spec == (32, True)
+
+
+def test_pick_generate_tile_trial_compile_fallback(monkeypatch):
+    """A net the two-point-calibrated estimate mispredicts must WALK DOWN
+    (tile 128 -> 64 -> ... -> XLA) via the Mosaic trial compile instead of
+    failing at runtime (VERDICT r1 item 7). Simulated by failing the trial
+    for specific tiles; also checks the result is cached per signature."""
+    from deeppicarditeration_tpu.ops import pallas_kernels as pk
+
+    nx = 100
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=5.0, T=1.0)
+    small = _mlp_solution(nx, (128, 128, 128, 128))
+
+    calls = []
+
+    def fake_trial(eq_, sol_, nx_, tile, split, mblk, antithetic,
+                   mxu_precision="bf16x3"):
+        calls.append(tile)
+        return tile <= 32  # "Mosaic rejects" 128 and 64
+
+    monkeypatch.setattr(pk, "_trial_compile_ok", fake_trial)
+    assert pk.pick_generate_tile(eq, small, nx, 4096) == (32, False)
+    assert calls == [128, 64, 32]
+
+    calls.clear()
+    monkeypatch.setattr(pk, "_trial_compile_ok",
+                        lambda *a, **k: False)
+    assert pk.pick_generate_tile(eq, small, nx, 4096) is None  # -> XLA
+
+
+def test_trial_compile_ok_real_lowering():
+    """The trial lowering actually compiles the kernel from abstract avals
+    (interpret mode off-TPU) and caches per signature."""
+    from deeppicarditeration_tpu.ops import pallas_kernels as pk
+
+    nx = 5
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=1.0, T=1.0)
+    sol = _mlp_solution(nx, (8, 8))
+    pk._TRIAL_COMPILE_CACHE.clear()
+    assert pk._trial_compile_ok(eq, sol, nx, 16, False, 8, False)
+    assert len(pk._TRIAL_COMPILE_CACHE) == 1
+    # second call hits the cache (same signature)
+    assert pk._trial_compile_ok(eq, sol, nx, 16, False, 8, False)
+    assert len(pk._TRIAL_COMPILE_CACHE) == 1
 
 
 def test_tri_state_config_parse():
