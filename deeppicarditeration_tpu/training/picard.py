@@ -53,8 +53,10 @@ from deeppicarditeration_tpu.training.logging import MetricLogger
 from deeppicarditeration_tpu.training.trainer import (
     TrainSpec,
     TrainState,
+    lr_schedule_fn,
     make_optimizer,
     make_step_body,
+    model_summary,
 )
 from deeppicarditeration_tpu.utils.profiling import step_timer
 from deeppicarditeration_tpu.utils.progress import PicardProgress
@@ -175,6 +177,7 @@ class PicardRunner:
         self.spec = TrainSpec.from_cfg(cfg, eq.nx)
         self.tx_opt, self._opt_needs_value = make_optimizer(
             cfg.TRAIN.OPTIMIZER)
+        self._lr_fn = lr_schedule_fn(cfg.TRAIN.OPTIMIZER)
 
         self.u_current: Solution = Solution.zero(eq.nx, self.net_type)
         self.u_history: List[Solution] = [self.u_current]
@@ -438,6 +441,7 @@ class PicardRunner:
                         test_hessian=bool(cfg.EVAL.TEST_HESSIAN),
                         batch_size=cfg.EVAL.BATCH_SIZE)
                     em["iter"] = self.i
+                    em["lr"] = self._lr_fn(self.global_step)
                     self.logger.log(em, self.global_step, context="eval")
                 elif freq and cfg.EVAL.REFERENCE_FILE:
                     from deeppicarditeration_tpu.evaluation.evaluator import (
@@ -471,6 +475,8 @@ class PicardRunner:
         sol = init_solution(jax.random.fold_in(key_iter, 0), cfg,
                             self.equation, module=self.module)
         params = sol.params
+        if self.i == 1:  # ModelSummary-callback parity, once per run
+            print(model_summary(self.module, params))
         if cfg.NETWORK.PRETRAIN_PATH is not None and self.i == 1:
             params = ckpt.load_params(cfg.NETWORK.PRETRAIN_PATH, params)
             self.u_current = Solution.from_net(self.module, params,

@@ -115,6 +115,53 @@ def make_optimizer(opt_cfg) -> Tuple[optax.GradientTransformation, object]:
     return tx, needs_value
 
 
+def lr_schedule_fn(opt_cfg) -> Callable[[int], float]:
+    """step -> learning rate, for logging (the reference's
+    LearningRateMonitor callback, picard_iteration.py:192-196).
+
+    Mirrors make_optimizer's schedule mapping. ReduceLROnPlateau's scale
+    is optimizer-state-dependent; its BASE lr is reported (the plateau
+    multiplier lives in the opt state, not the schedule)."""
+    kwargs = dict(opt_cfg.get("kwargs", {}) or {})
+    lr = float(kwargs.pop("lr", 1e-3))
+    sched_cfg = opt_cfg.get("SCHEDULER", {}) or {}
+    sched_cls = sched_cfg.get("cls")
+    sched_kwargs = dict(sched_cfg.get("kwargs", {}) or {})
+    if sched_cls == "StepLR":
+        step_size = int(sched_kwargs.get("step_size", 1000))
+        gamma = float(sched_kwargs.get("gamma", 0.1))
+        return lambda s: lr * gamma ** (int(s) // step_size)
+    if sched_cls == "ExponentialLR":
+        gamma = float(sched_kwargs.get("gamma", 0.999))
+        return lambda s: lr * gamma ** int(s)
+    if sched_cls == "CosineAnnealingLR":
+        import math
+
+        T_max = int(sched_kwargs.get("T_max", 10_000))
+        eta_min = float(sched_kwargs.get("eta_min", 0.0))
+        return lambda s: (eta_min + 0.5 * (lr - eta_min)
+                          * (1 + math.cos(math.pi * min(int(s), T_max)
+                                          / T_max)))
+    return lambda s: lr
+
+
+def model_summary(module, params) -> str:
+    """One-line-per-leaf parameter summary + total count (the reference's
+    Lightning ModelSummary callback, picard_iteration.py:192-196)."""
+    lines = [f"model: {type(module).__name__}"]
+    total = 0
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        n = int(jnp.size(leaf))
+        total += n
+        name = "/".join(getattr(p, "key", getattr(p, "name", str(p)))
+                        for p in path)
+        lines.append(f"  {name}: {tuple(jnp.shape(leaf))} = {n:,}")
+    lines.append(f"total parameters: {total:,} "
+                 f"({total * 4 / 2 ** 20:.2f} MB f32)")
+    return "\n".join(lines)
+
+
 # ---------------------------------------------------------------------------
 # train state + step
 # ---------------------------------------------------------------------------

@@ -174,3 +174,42 @@ def test_lbfgs_optimizer_trains(key):
         state, m = step(state, tx, y, jax.random.fold_in(k, i))
         losses.append(float(m["train_loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_lr_schedule_fn_matches_make_optimizer_mapping():
+    """lr logging (LearningRateMonitor parity) mirrors the scheduler
+    mapping used by make_optimizer."""
+    import math
+
+    from deeppicarditeration_tpu.training.trainer import lr_schedule_fn
+
+    base = {"cls": "Adam", "kwargs": {"lr": 0.01}}
+    f = lr_schedule_fn({**base, "SCHEDULER": {"cls": None}})
+    assert f(0) == f(10_000) == 0.01
+    f = lr_schedule_fn({**base, "SCHEDULER": {
+        "cls": "StepLR", "kwargs": {"step_size": 10, "gamma": 0.5}}})
+    assert f(9) == 0.01 and f(10) == 0.005 and f(25) == 0.0025
+    f = lr_schedule_fn({**base, "SCHEDULER": {
+        "cls": "ExponentialLR", "kwargs": {"gamma": 0.9}}})
+    assert abs(f(2) - 0.01 * 0.81) < 1e-12
+    f = lr_schedule_fn({**base, "SCHEDULER": {
+        "cls": "CosineAnnealingLR", "kwargs": {"T_max": 100}}})
+    assert abs(f(0) - 0.01) < 1e-12
+    assert abs(f(100)) < 1e-12
+    assert abs(f(50) - 0.005) < 1e-12
+
+
+def test_model_summary_counts_params(key):
+    from deeppicarditeration_tpu.training.trainer import model_summary
+
+    mod, params = _module_and_params(key, "Value")
+    s = model_summary(mod, params)
+    assert "total parameters" in s and "MLP" in s
+    import re
+
+    total = int(re.search(r"total parameters: ([\d,]+)",
+                          s).group(1).replace(",", ""))
+    import jax as _j
+
+    assert total == sum(int(x.size)
+                        for x in _j.tree_util.tree_leaves(params))
