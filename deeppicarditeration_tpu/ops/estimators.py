@@ -234,15 +234,22 @@ def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
         from deeppicarditeration_tpu.ops.pallas_kernels import (
             seed_from_key,
             terminal_with_gradients_pallas,
+            terminal_with_gradients_pallas_sharded,
         )
 
+        draws = _forced_pallas_draws(key, tx, gen.n_estimate_terminal,
+                                     gen.antithetic)
+        ndev = _mesh_ndev(gen)
         # tile_b=512/mblk=8: measured best on v5e (93 ms vs 111 ms XLA at
         # B=4096, M=4096, nx=100); tile 1024 or mblk 32 overflow VMEM
+        if ndev is not None and ndev > 1:
+            return terminal_with_gradients_pallas_sharded(
+                seed_from_key(key), eq, tx, gen.n_estimate_terminal,
+                mesh=gen.mesh, axis=gen.mesh_axis, tile_b=512, mblk=8,
+                antithetic=gen.antithetic, **draws)
         return terminal_with_gradients_pallas(
             seed_from_key(key), eq, tx, gen.n_estimate_terminal,
-            tile_b=512, mblk=8, antithetic=gen.antithetic,
-            **_forced_pallas_draws(key, tx, gen.n_estimate_terminal,
-                                   gen.antithetic))
+            tile_b=512, mblk=8, antithetic=gen.antithetic, **draws)
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_terminal
@@ -325,18 +332,26 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
             and not eq.has_hessian_term and not eq.has_laplacian_term):
         from deeppicarditeration_tpu.ops.pallas_kernels import (
             integral_with_gradients_pallas,
+            integral_with_gradients_pallas_sharded,
             seed_from_key,
         )
 
+        draws = _forced_pallas_draws(key, tx, gen.n_estimate_integral,
+                                     gen.antithetic, with_u01=True)
+        ndev = _mesh_ndev(gen)
         # tile_b=128/mblk=8: measured best on v5e (282 ms vs 347 ms XLA at
         # B=4096, M=4096, nx=100, 4x128 MLP); bigger tiles overflow VMEM
         # (the in-kernel net fwd+vjp holds ~8 MB of activations)
+        if ndev is not None and ndev > 1:
+            return integral_with_gradients_pallas_sharded(
+                seed_from_key(key, 1), eq, sol, tx,
+                gen.n_estimate_integral, mesh=gen.mesh, axis=gen.mesh_axis,
+                tile_b=128, mblk=8, antithetic=gen.antithetic,
+                mxu_precision=gen.pallas_precision, **draws)
         return integral_with_gradients_pallas(
             seed_from_key(key, 1), eq, sol, tx, gen.n_estimate_integral,
             tile_b=128, mblk=8, antithetic=gen.antithetic,
-            mxu_precision="bf16x3",
-            **_forced_pallas_draws(key, tx, gen.n_estimate_integral,
-                                   gen.antithetic, with_u01=True))
+            mxu_precision=gen.pallas_precision, **draws)
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_integral

@@ -802,34 +802,25 @@ def generate_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
     return out[:, :1 + nx]
 
 
-def generate_with_gradients_pallas_sharded(seed, eq, sol, tx: jnp.ndarray,
-                                           m: int, *, mesh, axis: str = "data",
-                                           tile_b: int = 128, mblk: int = 8,
-                                           antithetic: bool = False,
-                                           u01: jnp.ndarray | None = None,
-                                           noise_t: jnp.ndarray | None = None,
-                                           noise_i: jnp.ndarray | None = None,
-                                           interpret: bool | None = None,
-                                           mxu_precision: str | None = None,
-                                           split_chains: bool = False):
-    """Multi-device merged estimator: shard_map the kernel over ``axis``.
+def _shard_map_seeded_kernel(call, seed, repl_tree, tx, ext: dict, *,
+                             mesh, axis: str, tile_b: int):
+    """shard_map a seeded single-device estimator kernel over ``axis``.
 
     A pallas_call has no SPMD partitioning rule, so under a multi-device
     pjit it would compute the full batch replicated. This wrapper shards
     the collocation-point axis: each device runs the single-device kernel
     on its (B / ndev)-row slice. Per-device PRNG decorrelation reproduces
-    the single-device tile->seed assignment exactly — the kernel seeds
+    the single-device tile->seed assignment exactly — the kernels seed
     tile i with ``seed + i`` (pl.program_id), so device d offsets by
     ``d * local_tiles``: global tile d * local_tiles + i sees the same
     seed it would in a single-device run at the same tile size, making
     sharded == single-device bitwise when (B / ndev) admits that tile.
 
-    External noise arrays (the CPU/interpreter exactness path) are data:
-    they shard over ``axis`` alongside tx with no seed bookkeeping.
-
-    eq / sol ride through as replicated shard_map inputs (their array
-    leaves — GMM params, frozen-net weights — must be operands, not
-    closure constants, same as the kernel itself requires).
+    ``call(seed_local, repl_tree, tx_local, tile, **ext_local)`` invokes
+    the kernel. ``repl_tree`` (equation / frozen solution — array leaves
+    must be operands, not closure constants) is replicated; ``ext``
+    (external-noise arrays, the CPU/interpreter exactness path) is data
+    and shards alongside tx with no seed bookkeeping.
     """
     from jax.sharding import PartitionSpec
 
@@ -847,29 +838,87 @@ def generate_with_gradients_pallas_sharded(seed, eq, sol, tx: jnp.ndarray,
 
     data = PartitionSpec(axis)
     repl = PartitionSpec()
-    args = [seed, eq, sol, tx]
-    in_specs = [repl, repl, repl, data]
-    external = noise_t is not None
-    if external:
-        args += [u01, noise_t, noise_i]
-        in_specs += [data, data, data]
+    ext = {k: v for k, v in ext.items() if v is not None}
+    ext_keys = sorted(ext)
+    args = [seed, repl_tree, tx] + [ext[k] for k in ext_keys]
+    in_specs = [repl, repl, data] + [data] * len(ext_keys)
 
-    def local_fn(seed_in, eq_in, sol_in, tx_l, *ext_l):
+    def local_fn(seed_in, repl_in, tx_l, *ext_vals):
         d = jax.lax.axis_index(axis)
-        seed_l = seed_in + d * local_tiles
-        kw = {}
-        if ext_l:
-            kw = dict(u01=ext_l[0], noise_t=ext_l[1], noise_i=ext_l[2])
-        return generate_with_gradients_pallas(
-            seed_l, eq_in, sol_in, tx_l, m, tile_b=tile, mblk=mblk,
-            antithetic=antithetic, interpret=interpret,
-            mxu_precision=mxu_precision, split_chains=split_chains, **kw)
+        return call(seed_in + d * local_tiles, repl_in, tx_l, tile,
+                    **dict(zip(ext_keys, ext_vals)))
 
     # check_vma off: pallas_call's out_shape carries no varying-mesh-axes
     # annotation, which the checker (jax >= 0.9) rejects outright.
     fn = jax.shard_map(local_fn, mesh=mesh, in_specs=tuple(in_specs),
                        out_specs=data, check_vma=False)
     return fn(*args)
+
+
+def generate_with_gradients_pallas_sharded(seed, eq, sol, tx: jnp.ndarray,
+                                           m: int, *, mesh, axis: str = "data",
+                                           tile_b: int = 128, mblk: int = 8,
+                                           antithetic: bool = False,
+                                           u01: jnp.ndarray | None = None,
+                                           noise_t: jnp.ndarray | None = None,
+                                           noise_i: jnp.ndarray | None = None,
+                                           interpret: bool | None = None,
+                                           mxu_precision: str | None = None,
+                                           split_chains: bool = False):
+    """Multi-device merged estimator (see _shard_map_seeded_kernel)."""
+
+    def call(seed_l, eq_sol, tx_l, tile, **ext_l):
+        eq_in, sol_in = eq_sol
+        return generate_with_gradients_pallas(
+            seed_l, eq_in, sol_in, tx_l, m, tile_b=tile, mblk=mblk,
+            antithetic=antithetic, interpret=interpret,
+            mxu_precision=mxu_precision, split_chains=split_chains, **ext_l)
+
+    return _shard_map_seeded_kernel(
+        call, seed, (eq, sol), tx,
+        dict(u01=u01, noise_t=noise_t, noise_i=noise_i),
+        mesh=mesh, axis=axis, tile_b=tile_b)
+
+
+def terminal_with_gradients_pallas_sharded(seed, eq, tx: jnp.ndarray, m: int,
+                                           *, mesh, axis: str = "data",
+                                           tile_b: int = 256, mblk: int = 8,
+                                           antithetic: bool = False,
+                                           noise: jnp.ndarray | None = None,
+                                           interpret: bool | None = None):
+    """Multi-device standalone terminal estimator kernel."""
+
+    def call(seed_l, eq_in, tx_l, tile, **ext_l):
+        return terminal_with_gradients_pallas(
+            seed_l, eq_in, tx_l, m, tile_b=tile, mblk=mblk,
+            antithetic=antithetic, interpret=interpret, **ext_l)
+
+    return _shard_map_seeded_kernel(call, seed, eq, tx, dict(noise=noise),
+                                    mesh=mesh, axis=axis, tile_b=tile_b)
+
+
+def integral_with_gradients_pallas_sharded(seed, eq, sol, tx: jnp.ndarray,
+                                           m: int, *, mesh,
+                                           axis: str = "data",
+                                           tile_b: int = 128, mblk: int = 8,
+                                           antithetic: bool = False,
+                                           u01: jnp.ndarray | None = None,
+                                           noise: jnp.ndarray | None = None,
+                                           interpret: bool | None = None,
+                                           mxu_precision: str | None = None):
+    """Multi-device standalone integral estimator kernel (f0 is computed
+    per shard inside the kernel wrapper — pointwise, so exact)."""
+
+    def call(seed_l, eq_sol, tx_l, tile, **ext_l):
+        eq_in, sol_in = eq_sol
+        return integral_with_gradients_pallas(
+            seed_l, eq_in, sol_in, tx_l, m, tile_b=tile, mblk=mblk,
+            antithetic=antithetic, interpret=interpret,
+            mxu_precision=mxu_precision, **ext_l)
+
+    return _shard_map_seeded_kernel(
+        call, seed, (eq, sol), tx, dict(u01=u01, noise=noise),
+        mesh=mesh, axis=axis, tile_b=tile_b)
 
 
 def seed_from_key(key, salt: int = 0):

@@ -153,6 +153,41 @@ def test_pallas_generate_sharded_matches_single_device(key):
                                    np.asarray(out_sh), rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_standalone_kernels_sharded_match_single(key):
+    """The standalone terminal/integral kernels also compose with meshes
+    (same shard_map wrapper as the merged kernel)."""
+    import dataclasses
+
+    nx = 4
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=1.0)
+    mod = MLP(neurons=(8,), activations=("Tanh",), out_dim=1)
+    params = mod.init(key, jnp.zeros((1, 1 + nx)))
+    sol = Solution.from_net(mod, params, "Value", nx)
+    mesh = make_mesh()
+    gen_s = est.GenConfig(n_estimate_terminal=32, n_estimate_integral=32,
+                          t_always_uniform=True, chunk_elems=2 ** 12,
+                          pallas_generate=False, pallas_terminal=True,
+                          pallas_integral=True)
+    gen_m = dataclasses.replace(gen_s, mesh=mesh)
+    tx = est.sample_tx(key, eq, 64, gen_s)
+    out_t_single = est.estimate_terminal_with_gradients(key, eq, tx, gen_s)
+    out_i_single = est.estimate_integral_with_gradients(key, eq, sol, tx,
+                                                        gen_s)
+    tx_sh = jax.device_put(tx, data_sharding(mesh))
+    sol_r = jax.device_put(sol, replicated(mesh))
+    out_t_sh = jax.jit(
+        lambda k, e, t: est.estimate_terminal_with_gradients(k, e, t, gen_m),
+        out_shardings=data_sharding(mesh))(key, eq, tx_sh)
+    out_i_sh = jax.jit(
+        lambda k, e, s, t: est.estimate_integral_with_gradients(
+            k, e, s, t, gen_m),
+        out_shardings=data_sharding(mesh))(key, eq, sol_r, tx_sh)
+    np.testing.assert_allclose(np.asarray(out_t_single),
+                               np.asarray(out_t_sh), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_i_single),
+                               np.asarray(out_i_sh), rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_generate_mesh_seed_offsets_cover_tiles(key):
     """Distinct devices must use distinct PRNG tile seeds: the sharded
     wrapper offsets device d's seed by d * local_tiles so the global
