@@ -27,7 +27,10 @@ import jax.numpy as jnp
 
 from scripts.bench_pallas_kernels import timed
 
-PRECISIONS = ["bf16x3", "default", "highest"]
+# "highest" (full-f32 dots) overflows Mosaic scoped vmem on this net
+# even at tile 16 (measured 22.07M > 16M); bf16x3 is the accuracy
+# reference (validated f32-equivalent, PRECISION.md).
+PRECISIONS = ["bf16x3", "default"]
 
 
 def main():
@@ -57,12 +60,16 @@ def main():
     tx_a = jnp.concatenate([t, x], axis=-1)
     outs = {}
     for prec in PRECISIONS:
-        outs[prec] = jax.jit(
-            lambda prec=prec: generate_with_gradients_pallas(
-                1234, eq, sol, tx_a, m_a, tile_b=16, mblk=8,
-                mxu_precision=prec, split_chains=False))()
+        # arrays as jit ARGUMENTS: closure constants get inlined into the
+        # shipped MLIR and blow up the remote compile (observed 215 MB)
+        fn = jax.jit(lambda e, s, t, prec=prec: generate_with_gradients_pallas(
+            1234, e, s, t, m_a, tile_b=16, mblk=8,
+            mxu_precision=prec, split_chains=False))
+        outs[prec] = fn(eq, sol, tx_a)
         outs[prec].block_until_ready()
-    ref = outs["highest"]
+        print(json.dumps({"which": "accuracy-done", "precision": prec}),
+              flush=True)
+    ref = outs["bf16x3"]
     g_scale = float(jnp.sqrt(jnp.mean(ref[:, 1:] ** 2)))
     for prec in PRECISIONS:
         d = outs[prec] - ref
@@ -86,11 +93,15 @@ def main():
     for prec in PRECISIONS:
         for tile, split in ((32, True), (16, False)):
             @jax.jit
-            def pk(key, salt, prec=prec, tile=tile, split=split):
+            def pk_args(e, s, t_in, key, salt, prec=prec, tile=tile,
+                        split=split):
                 out = generate_with_gradients_pallas(
-                    seed_from_key(key, 2), eq, sol, tx, m, tile_b=tile,
+                    seed_from_key(key, 2), e, s, t_in, m, tile_b=tile,
                     mblk=8, mxu_precision=prec, split_chains=split)
                 return jnp.sum(out) * 1e-9 + salt
+
+            def pk(key, salt):
+                return pk_args(eq, sol, tx, key, salt)
 
             try:
                 sec = timed(pk, jax.random.PRNGKey(32))
