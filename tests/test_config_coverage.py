@@ -31,6 +31,7 @@ def test_config_constructs(cfg_path):
     gen = gen_config_from_cfg(cfg, 1)
     assert gen.n_estimate_terminal >= 1
     assert gen.n_estimate_integral >= 1
+    assert gen.pallas_precision in ("bf16x3", "default", "highest")
     assert cfg.PICARD.N >= 1
     assert module is not None
 
