@@ -28,6 +28,12 @@ def bench_tpu(b=4096, m=4096, nx=100, repeats=8):
     import jax
     import jax.numpy as jnp
 
+    from deeppicarditeration_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()  # warm runs skip tunnel compiles
+
     # Match the shipped accuracy policy (PRECISION.md): full-f32 matmuls.
     # Measured free on this workload once nothing is dead-code-eliminated
     # (651.9 ms highest vs 619.5 default on the XLA path at this scale).

@@ -31,6 +31,15 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    from deeppicarditeration_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    # persistent XLA compile cache: tunnel compiles are minutes per jit
+    # signature; a warm cache halves short-recipe wall (opt out with
+    # DPI_NO_COMPILE_CACHE=1)
+    enable_persistent_compile_cache()
+
     if args.command == "train":
         from deeppicarditeration_tpu.parallel import distributed
 

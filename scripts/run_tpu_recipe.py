@@ -29,6 +29,11 @@ def main():
                     help="continue from the latest checkpoint in exp dir")
     args = ap.parse_args()
 
+    from deeppicarditeration_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     from deeppicarditeration_tpu.config import load_cfg
     from deeppicarditeration_tpu.evaluation.evaluator import eval_solution
     from deeppicarditeration_tpu.training.picard import PicardRunner

@@ -256,3 +256,34 @@ def test_epoch_batches_rejects_oversized_batch(key):
         epoch_batches(key, ds, batch_size=8)
     tx, y = epoch_batches(key, ds, batch_size=2)
     assert tx.shape == (2, 2, 3) and y.shape == (2, 2, 1)
+
+
+def test_persistent_compile_cache_gates(monkeypatch, tmp_path):
+    """enable_persistent_compile_cache: DPI_NO_COMPILE_CACHE wins, a
+    user-set JAX_COMPILATION_CACHE_DIR is respected, otherwise the
+    default dir is created and configured."""
+    import jax
+
+    from deeppicarditeration_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("DPI_NO_COMPILE_CACHE", "1")
+        assert enable_persistent_compile_cache() is None
+        monkeypatch.delenv("DPI_NO_COMPILE_CACHE")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/userdir")
+        assert enable_persistent_compile_cache() == "/tmp/userdir"
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+        jax.config.update("jax_compilation_cache_dir", None)
+        d = str(tmp_path / "jaxcache")
+        assert enable_persistent_compile_cache(d) == d
+        assert jax.config.jax_compilation_cache_dir == d
+        import os
+
+        assert os.path.isdir(d)
+        # already configured -> idempotent, keeps the existing dir
+        assert enable_persistent_compile_cache(str(tmp_path / "x")) == d
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
