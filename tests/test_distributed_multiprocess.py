@@ -137,3 +137,25 @@ def test_two_process_distributed_train_step():
     import math
 
     assert math.isfinite(results[0]["loss"])
+
+
+def test_bench_scaling_harness_smoke():
+    """scripts/bench_scaling.py must stay runnable (it is the committed
+    multi-chip measurement harness, VERDICT r1 item 2) — tiny smoke run
+    over 1 and 2 virtual devices."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "bench_scaling.py"),
+         "--nx", "4", "--b-per-device", "16", "--m", "16",
+         "--batch-size", "8", "--repeats", "1", "--devices", "1,2",
+         "--cpu"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    lines = [json.loads(l) for l in out.stdout.splitlines()
+             if l.startswith("{")]
+    assert [r["n_devices"] for r in lines] == [1, 2]
+    assert all(r["gen_samples_per_s"] > 0 for r in lines)
