@@ -241,8 +241,10 @@ def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
                                      gen.antithetic)
         ndev = _mesh_ndev(gen)
         # tile_b=512/mblk=8: measured best on v5e (93 ms vs 111 ms XLA at
-        # B=4096, M=4096, nx=100); tile 1024 or mblk 32 overflow VMEM
-        if ndev is not None and ndev > 1:
+        # B=4096, M=4096, nx=100); tile 1024 or mblk 32 overflow VMEM.
+        # Non-divisible batch: single-device kernel (replicated under a
+        # multi-chip pjit — wasteful but correct), not a hard error.
+        if ndev is not None and ndev > 1 and tx.shape[0] % ndev == 0:
             return terminal_with_gradients_pallas_sharded(
                 seed_from_key(key), eq, tx, gen.n_estimate_terminal,
                 mesh=gen.mesh, axis=gen.mesh_axis, tile_b=512, mblk=8,
@@ -341,8 +343,9 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
         ndev = _mesh_ndev(gen)
         # tile_b=128/mblk=8: measured best on v5e (282 ms vs 347 ms XLA at
         # B=4096, M=4096, nx=100, 4x128 MLP); bigger tiles overflow VMEM
-        # (the in-kernel net fwd+vjp holds ~8 MB of activations)
-        if ndev is not None and ndev > 1:
+        # (the in-kernel net fwd+vjp holds ~8 MB of activations).
+        # Non-divisible batch: single-device kernel, as the terminal path.
+        if ndev is not None and ndev > 1 and tx.shape[0] % ndev == 0:
             return integral_with_gradients_pallas_sharded(
                 seed_from_key(key, 1), eq, sol, tx,
                 gen.n_estimate_integral, mesh=gen.mesh, axis=gen.mesh_axis,
@@ -628,7 +631,8 @@ def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
     )
 
     return pick_generate_tile(eq, sol, sol.nx, b_local,
-                              antithetic=gen.antithetic)
+                              antithetic=gen.antithetic,
+                              mxu_precision=gen.pallas_precision)
 
 
 def generate_values(key, eq, sol: Solution, tx, gen: GenConfig):

@@ -369,7 +369,8 @@ def _trial_compile_ok(eq, sol, nx: int, tile: int, split: bool,
 
 
 def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
-                       antithetic: bool = False, trial: bool = True):
+                       antithetic: bool = False, trial: bool = True,
+                       mxu_precision: str | None = "bf16x3"):
     """(tile, split_chains) for the merged kernel, or None for XLA.
 
     Largest batch tile (<= 128, dividing b) whose estimated working set
@@ -379,10 +380,12 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
     relaxed split budget admits it (measured faster; see above).
 
     The heuristic pick is CONFIRMED by a cached Mosaic trial compile
-    (_trial_compile_ok); a mispredicting estimate walks down to smaller
-    tiles and ultimately to the XLA path instead of failing at runtime.
-    ``trial=False`` skips the confirmation (unit tests of the estimate).
-    """
+    (_trial_compile_ok) at the SAME ``mxu_precision`` the dispatcher will
+    use (precisions differ in scoped-vmem footprint: "highest" overflows
+    on nets where bf16x3 fits); a mispredicting estimate walks down to
+    smaller tiles and ultimately to the XLA path instead of failing at
+    runtime. ``trial=False`` skips the confirmation (unit tests of the
+    estimate)."""
     preferred = _heuristic_generate_tile(eq, sol, nx, b, mblk)
     if preferred is None:
         return None
@@ -393,7 +396,8 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
         if tile < preferred[0] and b % tile == 0:
             candidates.append((tile, False))
     for tile, split in candidates:
-        if _trial_compile_ok(eq, sol, nx, tile, split, mblk, antithetic):
+        if _trial_compile_ok(eq, sol, nx, tile, split, mblk, antithetic,
+                             mxu_precision=mxu_precision):
             return tile, split
     return None
 

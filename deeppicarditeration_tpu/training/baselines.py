@@ -406,8 +406,11 @@ def train_dbdp(runner, key):
                 em = eval_grid(stacked, jax.random.fold_in(kkk, 777))
                 runner.logger.log(em, step_counter, context="eval")
         # per-epoch periodic save (async) so a killed multi-epoch sweep
-        # keeps its last full backward pass (solution.py:520 parity)
-        ckpt.save_params(ckpt.ckpt_path(runner.exp_dir, runner.i), stacked)
+        # keeps its last full backward pass (solution.py:520 parity).
+        # A SEPARATE path, never model_{i}: a mid-run model_{i} would
+        # make PicardRunner._maybe_resume try to restore the stacked
+        # pair pytree into the single-net template and crash.
+        ckpt.save_params(_baseline_state_paths(runner)[0], stacked)
     # persist the stacked nets
     ckpt.save_params(ckpt.ckpt_path(runner.exp_dir, runner.i), stacked)
     # a single u(t, x) view over the per-timestep nets (nearest grid time,
@@ -538,9 +541,15 @@ def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
         runner.progress.update_train(e0 + n, float(loss))
         runner.logger.log({"loss": float(loss), "epoch": epoch,
                            "wall_time": wall}, epoch, context=tag)
-        # periodic state (async; the final model_{i} below stays
-        # params-only so evaluators/RELOAD see the same layout as Picard)
-        ckpt.save_params(state_path, {"params": params, "opt": opt_state})
+        # periodic state; the final model_{i} below stays params-only so
+        # evaluators/RELOAD see the same layout as Picard. BLOCKING save,
+        # meta written only after the commit: an async overwrite of the
+        # single state slot would leave a kill-window where the previous
+        # state is deleted, the new one uncommitted, and the meta already
+        # points at it — losing every periodic save exactly when needed.
+        # (These nets are small; the blocking write is milliseconds.)
+        ckpt.save_params(state_path, {"params": params, "opt": opt_state},
+                         block=True)
         meta_path.write_text(json.dumps({"epoch": e0 + n,
                                          "wall_time": wall}))
         if eq.has_exact_solution:

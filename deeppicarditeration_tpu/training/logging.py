@@ -84,17 +84,23 @@ class MetricLogger:
         experiment NAME, hyperparams attached. No-op for other backends."""
         if self._wandb is None:
             return
-        if self._wandb_run is not None:
-            self._wandb_run.finish()
         kwargs = dict(self._kwargs)
         # offline unless the recipe explicitly opts into online
         mode = "offline" if kwargs.pop("offline", True) else "online"
         project = kwargs.pop("project", "picard")
-        self._wandb_run = self._wandb.init(
-            project=project, group=self._name,
-            name=f"{self._name}_picard_iter_{i}", mode=mode,
-            dir=str(self.exp_dir), config=self._hparams,
-            reinit=True, **kwargs)
+        try:
+            if self._wandb_run is not None:
+                self._wandb_run.finish()
+            self._wandb_run = self._wandb.init(
+                project=project, group=self._name,
+                name=f"{self._name}_picard_iter_{i}", mode=mode,
+                dir=str(self.exp_dir), config=self._hparams,
+                reinit=True, **kwargs)
+        except Exception as e:  # never kill the run over telemetry
+            print(f"wandb run init failed ({e!r}); continuing with "
+                  "metrics.jsonl only")
+            self._wandb_run = None
+            self._wandb = None
 
     def log(self, metrics: Dict, step: int, context: str = "train") -> None:
         rec = {"step": step, "context": context, "time": time.time()}

@@ -223,6 +223,14 @@ class PicardRunner:
             latest += 1
         if latest == 0:
             return
+        if self.cfg.METHOD.cls == "FullyNonlinearSolver":
+            # DBDP's model_{i} holds the STACKED per-timestep pair pytree,
+            # not a Solution params tree — skip completed iterations but
+            # do not try to restore it into the single-net template
+            self.i = latest
+            print(f"RESUME: DBDP iterations 1..{latest} already complete "
+                  f"({self.exp_dir}); skipping them")
+            return
         template = init_solution(jax.random.PRNGKey(0), self.cfg,
                                  self.equation, module=self.module)
 

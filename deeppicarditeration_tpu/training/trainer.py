@@ -49,6 +49,34 @@ _OPTIMIZERS = {
 }
 
 
+def _build_schedule(lr, sched_cls, sched_kwargs):
+    """torch-scheduler name -> (optax schedule or constant, plateau flag).
+
+    The ONE place the scheduler mapping lives: make_optimizer feeds the
+    result to the optimizer, lr_schedule_fn evaluates the same object for
+    logging (so the logged lr can never drift from the real one)."""
+    if sched_cls is None or sched_cls == "ReduceLROnPlateau":
+        # plateau's multiplier lives in the optimizer STATE, not a schedule
+        return lr, sched_cls == "ReduceLROnPlateau"
+    if sched_cls == "StepLR":
+        return optax.exponential_decay(
+            init_value=lr,
+            transition_steps=int(sched_kwargs.get("step_size", 1000)),
+            decay_rate=float(sched_kwargs.get("gamma", 0.1)),
+            staircase=True), False
+    if sched_cls == "ExponentialLR":
+        return optax.exponential_decay(
+            init_value=lr, transition_steps=1,
+            decay_rate=float(sched_kwargs.get("gamma", 0.999))), False
+    if sched_cls == "CosineAnnealingLR":
+        return optax.cosine_decay_schedule(
+            init_value=lr,
+            decay_steps=int(sched_kwargs.get("T_max", 10_000)),
+            alpha=float(sched_kwargs.get("eta_min", 0.0))
+            / max(lr, 1e-12)), False
+    raise ValueError(f"Unknown scheduler {sched_cls!r}")
+
+
 def make_optimizer(opt_cfg) -> Tuple[optax.GradientTransformation, object]:
     """Build optax optimizer (+scheduler). Returns (tx, needs_value) where
     needs_value is falsy (nothing extra), "value" (update() wants the loss
@@ -67,32 +95,9 @@ def make_optimizer(opt_cfg) -> Tuple[optax.GradientTransformation, object]:
         # torch.optim.Adam accepts weight_decay; optax.adam does not
         kwargs.pop("weight_decay", None)
     sched_cfg = opt_cfg.get("SCHEDULER", {}) or {}
-    sched_cls = sched_cfg.get("cls")
     sched_kwargs = dict(sched_cfg.get("kwargs", {}) or {})
-
-    needs_value = False
-    if sched_cls is None:
-        schedule = lr
-    elif sched_cls == "StepLR":
-        schedule = optax.exponential_decay(
-            init_value=lr,
-            transition_steps=int(sched_kwargs.get("step_size", 1000)),
-            decay_rate=float(sched_kwargs.get("gamma", 0.1)),
-            staircase=True)
-    elif sched_cls == "ExponentialLR":
-        schedule = optax.exponential_decay(
-            init_value=lr, transition_steps=1,
-            decay_rate=float(sched_kwargs.get("gamma", 0.999)))
-    elif sched_cls == "CosineAnnealingLR":
-        schedule = optax.cosine_decay_schedule(
-            init_value=lr,
-            decay_steps=int(sched_kwargs.get("T_max", 10_000)),
-            alpha=float(sched_kwargs.get("eta_min", 0.0)) / max(lr, 1e-12))
-    elif sched_cls == "ReduceLROnPlateau":
-        schedule = lr
-        needs_value = True
-    else:
-        raise ValueError(f"Unknown scheduler {sched_cls!r}")
+    schedule, needs_value = _build_schedule(lr, sched_cfg.get("cls"),
+                                            sched_kwargs)
 
     if cls not in _OPTIMIZERS:
         raise ValueError(f"Unknown optimizer {cls!r}; known: {sorted(_OPTIMIZERS)}")
@@ -119,30 +124,30 @@ def lr_schedule_fn(opt_cfg) -> Callable[[int], float]:
     """step -> learning rate, for logging (the reference's
     LearningRateMonitor callback, picard_iteration.py:192-196).
 
-    Mirrors make_optimizer's schedule mapping. ReduceLROnPlateau's scale
-    is optimizer-state-dependent; its BASE lr is reported (the plateau
-    multiplier lives in the opt state, not the schedule)."""
+    Evaluates THE SAME schedule object make_optimizer installs (built by
+    _build_schedule — no parallel formula to drift). ReduceLROnPlateau's
+    scale is optimizer-state-dependent; its BASE lr is reported (the
+    plateau multiplier lives in the opt state, not the schedule)."""
     kwargs = dict(opt_cfg.get("kwargs", {}) or {})
     lr = float(kwargs.pop("lr", 1e-3))
     sched_cfg = opt_cfg.get("SCHEDULER", {}) or {}
-    sched_cls = sched_cfg.get("cls")
-    sched_kwargs = dict(sched_cfg.get("kwargs", {}) or {})
-    if sched_cls == "StepLR":
-        step_size = int(sched_kwargs.get("step_size", 1000))
-        gamma = float(sched_kwargs.get("gamma", 0.1))
-        return lambda s: lr * gamma ** (int(s) // step_size)
-    if sched_cls == "ExponentialLR":
-        gamma = float(sched_kwargs.get("gamma", 0.999))
-        return lambda s: lr * gamma ** int(s)
-    if sched_cls == "CosineAnnealingLR":
-        import math
+    schedule, _ = _build_schedule(lr, sched_cfg.get("cls"),
+                                  dict(sched_cfg.get("kwargs", {}) or {}))
+    if not callable(schedule):
+        return lambda s: float(schedule)
 
-        T_max = int(sched_kwargs.get("T_max", 10_000))
-        eta_min = float(sched_kwargs.get("eta_min", 0.0))
-        return lambda s: (eta_min + 0.5 * (lr - eta_min)
-                          * (1 + math.cos(math.pi * min(int(s), T_max)
-                                          / T_max)))
-    return lambda s: lr
+    def eval_lr(s):
+        # optax schedules are jnp computations: pin the (single-scalar)
+        # evaluation to CPU so logging never pays a remote-TPU dispatch +
+        # readback (~30 ms each through the tunnel)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            return float(schedule(s))
+        with jax.default_device(cpu):
+            return float(schedule(s))
+
+    return eval_lr
 
 
 def model_summary(module, params) -> str:

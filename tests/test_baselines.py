@@ -204,3 +204,29 @@ def test_dbdp_baseline_runs(tmp_path):
                            runner.equation, 200)
     assert np.isfinite(m_net["rRMSE"])
     assert m_net["rRMSE"] < m_zero["rRMSE"]
+
+
+def test_dbdp_resume_skips_completed_iterations(tmp_path):
+    """RESUME on a finished DBDP run must not try to restore the stacked
+    pair pytree into the single-net template (review finding): completed
+    iterations are skipped and the runner constructs cleanly."""
+    cfg = _base_cfg("dbdp_resume", "FullyNonlinearSolver", epochs=1)
+    cfg.EQUATION.cls = "GBMEquationComplexExact"
+    cfg.EQUATION.kwargs = {"nx": 3, "alpha": 1.0, "T": 0.2}
+    cfg.METHOD.dt = 0.1  # K = 2
+    cfg.METHOD.num_sub_iter = 5
+    cfg.TRAIN.BATCH_SIZE = 64
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    runner.run_one()
+    from deeppicarditeration_tpu.training import checkpoint as ckpt_mod
+
+    ckpt_mod.wait_all()
+    # mid-run periodic state lives on its own path, never model_{i}
+    assert (runner.exp_dir / "baseline_1_state").exists()
+
+    cfg2 = cfg.clone()
+    cfg2.FORCE = False
+    cfg2.RESUME = True
+    cfg2.freeze()
+    r2 = PicardRunner(cfg2, exp_root=tmp_path)  # must not raise
+    assert r2.i == 1  # completed iteration skipped; run() would do nothing

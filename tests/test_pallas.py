@@ -326,12 +326,15 @@ def test_pick_generate_tile_trial_compile_fallback(monkeypatch):
 
     def fake_trial(eq_, sol_, nx_, tile, split, mblk, antithetic,
                    mxu_precision="bf16x3"):
-        calls.append(tile)
+        calls.append((tile, mxu_precision))
         return tile <= 32  # "Mosaic rejects" 128 and 64
 
     monkeypatch.setattr(pk, "_trial_compile_ok", fake_trial)
-    assert pk.pick_generate_tile(eq, small, nx, 4096) == (32, False)
-    assert calls == [128, 64, 32]
+    # the trial must compile at the precision the DISPATCH will use:
+    # precisions differ in scoped-vmem footprint (review finding)
+    assert pk.pick_generate_tile(eq, small, nx, 4096,
+                                 mxu_precision="default") == (32, False)
+    assert calls == [(128, "default"), (64, "default"), (32, "default")]
 
     calls.clear()
     monkeypatch.setattr(pk, "_trial_compile_ok",

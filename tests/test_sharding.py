@@ -188,6 +188,41 @@ def test_pallas_standalone_kernels_sharded_match_single(key):
                                np.asarray(out_i_sh), rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_kernels_mesh_non_divisible_batch_falls_back(key):
+    """A batch not divisible by the mesh axis must fall back to the
+    single-device kernel (replicated — wasteful but correct), never raise
+    (review finding)."""
+    import dataclasses
+
+    nx = 4
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=1.0)
+    mod = MLP(neurons=(8,), activations=("Tanh",), out_dim=1)
+    params = mod.init(key, jnp.zeros((1, 1 + nx)))
+    sol = Solution.from_net(mod, params, "Value", nx)
+    mesh = make_mesh()  # 8 devices; b = 30 is not divisible
+    gen = est.GenConfig(n_estimate_terminal=16, n_estimate_integral=16,
+                        t_always_uniform=True, chunk_elems=2 ** 12,
+                        pallas_generate=True, pallas_terminal=True,
+                        pallas_integral=True, mesh=mesh)
+    gen_ref = dataclasses.replace(gen, mesh=None)
+    tx = est.sample_tx(key, eq, 30, gen)
+    # standalone kernels: fall back to the single-device kernel with the
+    # SAME external draws -> exact match vs the mesh-less call
+    for fn in (lambda g: est.estimate_terminal_with_gradients(
+                   key, eq, tx, g),
+               lambda g: est.estimate_integral_with_gradients(
+                   key, eq, sol, tx, g)):
+        np.testing.assert_allclose(np.asarray(fn(gen)),
+                                   np.asarray(fn(gen_ref)),
+                                   rtol=1e-5, atol=1e-6)
+    # merged kernel: _pallas_generate_tile returns None (no per-device
+    # tiling exists) -> XLA scan path; different draws, so just assert it
+    # runs and is finite
+    out = est.generate_with_gradients(key, eq, sol, tx, gen)
+    assert out.shape == (30, 1 + nx)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_pallas_generate_mesh_seed_offsets_cover_tiles(key):
     """Distinct devices must use distinct PRNG tile seeds: the sharded
     wrapper offsets device d's seed by d * local_tiles so the global

@@ -183,20 +183,25 @@ def test_lr_schedule_fn_matches_make_optimizer_mapping():
 
     from deeppicarditeration_tpu.training.trainer import lr_schedule_fn
 
+    # lr_schedule_fn evaluates the SAME optax schedule make_optimizer
+    # installs (f32 on device), so comparisons are to float tolerance —
+    # the logged lr is the real one by construction
+    tol = 1e-6
     base = {"cls": "Adam", "kwargs": {"lr": 0.01}}
     f = lr_schedule_fn({**base, "SCHEDULER": {"cls": None}})
     assert f(0) == f(10_000) == 0.01
     f = lr_schedule_fn({**base, "SCHEDULER": {
         "cls": "StepLR", "kwargs": {"step_size": 10, "gamma": 0.5}}})
-    assert f(9) == 0.01 and f(10) == 0.005 and f(25) == 0.0025
+    assert (abs(f(9) - 0.01) < tol and abs(f(10) - 0.005) < tol
+            and abs(f(25) - 0.0025) < tol)
     f = lr_schedule_fn({**base, "SCHEDULER": {
         "cls": "ExponentialLR", "kwargs": {"gamma": 0.9}}})
-    assert abs(f(2) - 0.01 * 0.81) < 1e-12
+    assert abs(f(2) - 0.01 * 0.81) < tol
     f = lr_schedule_fn({**base, "SCHEDULER": {
         "cls": "CosineAnnealingLR", "kwargs": {"T_max": 100}}})
-    assert abs(f(0) - 0.01) < 1e-12
-    assert abs(f(100)) < 1e-12
-    assert abs(f(50) - 0.005) < 1e-12
+    assert abs(f(0) - 0.01) < tol
+    assert abs(f(100)) < tol
+    assert abs(f(50) - 0.005) < tol
 
 
 def test_model_summary_counts_params(key):

@@ -287,3 +287,28 @@ def test_persistent_compile_cache_gates(monkeypatch, tmp_path):
         assert enable_persistent_compile_cache(str(tmp_path / "x")) == d
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
+
+
+def test_metric_logger_wandb_init_failure_degrades(tmp_path, monkeypatch,
+                                                   capsys):
+    """A wandb.init failure (bad kwargs, unwritable dir, service error)
+    must not kill the training run (review finding)."""
+    import sys
+    import types
+
+    fake = types.ModuleType("wandb")
+
+    def _bad_init(**kw):
+        raise RuntimeError("wandb service unavailable")
+
+    fake.init = _bad_init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    from deeppicarditeration_tpu.training.logging import MetricLogger
+
+    lg = MetricLogger(tmp_path, logger="wandb", name="x")
+    lg.start_iteration(1)  # must not raise
+    lg.log({"loss": 1.0}, step=1)
+    lg.start_iteration(2)  # backend disabled after the failure
+    lg.close()
+    assert "wandb run init failed" in capsys.readouterr().out
+    assert (tmp_path / "metrics.jsonl").exists()
