@@ -125,10 +125,21 @@ class Config(dict):
 
     def merge_from_list(self, override: List[str]):
         """Merge ``["KEY.SUBKEY", "value", ...]`` pairs (CLI overrides).
-        Unknown keys raise unless under a free-form kwargs subtree."""
+        Unknown keys raise unless under a free-form kwargs subtree;
+        obsolete reference keys warn and are ignored (same shim as YAML
+        loading — reference users pass e.g. ``DATA.N_WORKERS 0``)."""
         assert len(override) % 2 == 0, "override list must be key/value pairs"
         for key, raw in zip(override[::2], override[1::2]):
             key = key.lstrip("-")
+            if any(key == k or key.startswith(k + ".")
+                   for k in _OBSOLETE_KEYS):
+                import warnings
+
+                warnings.warn(
+                    f"config key {key} is obsolete on TPU; accepted for "
+                    "reference-recipe compatibility and ignored",
+                    stacklevel=2)
+                continue
             node = self
             parts = key.split(".")
             for p in parts[:-1]:

@@ -104,6 +104,19 @@ def test_obsolete_reference_keys_accepted_with_warning(tmp_path):
     assert "MEMORY" not in cfg.DATA
 
 
+def test_obsolete_keys_in_cli_overrides_warn_not_raise(tmp_path):
+    """Reference users pass e.g. ``DATA.N_WORKERS 0`` on the command line
+    too — the shim covers CLI overrides, not only YAML files."""
+    f = tmp_path / "c.yaml"
+    f.write_text("NAME: a\n")
+    with pytest.warns(UserWarning, match="obsolete on TPU"):
+        cfg = load_cfg(f, ["DATA.N_WORKERS", "0",
+                           "DATA.MEMORY.RESERVED", "0.5",
+                           "TRAIN.BATCH_SIZE", "128"])
+    assert cfg.TRAIN.BATCH_SIZE == 128
+    assert "N_WORKERS" not in cfg.DATA
+
+
 def test_yaml_none_string_normalized(tmp_path):
     """Reference YAMLs write ``BOUND: None`` — YAML parses that as the
     string 'None'; it must become null like the CLI's _parse_value does."""
