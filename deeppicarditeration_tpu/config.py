@@ -205,6 +205,16 @@ def default_cfg() -> Config:
     c.TRAIN.SUPERVISE_GRADIENT = None
     c.TRAIN.SUPERVISE_HESSIAN = None
     c.TRAIN.NUM_HESS_SAMPLES = -1
+    # Fuse the EVAL.FREQ-segmented fit AND its in-training eval into ONE
+    # jitted scan per Picard iteration ("auto"/true/false). The unfused
+    # loop pays a blocking metric readback + an eval dispatch per segment
+    # (~70 ms each through a remote-TPU tunnel; 16 segments/iteration in
+    # the shipped recipes). Key derivation matches the unfused loop
+    # exactly, so the two paths produce identical trajectories; "auto"
+    # falls back to the loop when EVAL.REFERENCE_FILE is set, when steps
+    # is not a multiple of EVAL.FREQ, or when EVAL.BATCH_SIZE asks for
+    # eval chunking the fused graph does not do.
+    c.TRAIN.FUSED = "auto"
     c.TRAIN.LOSS = Config()
     c.TRAIN.LOSS.beta = 0.0  # exp(beta * t) sample weighting
     c.TRAIN.LOSS.SCALER = Config()

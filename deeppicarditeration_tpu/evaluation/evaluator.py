@@ -110,6 +110,43 @@ def _eval_metrics_fn(test_grad: bool, test_hessian: bool):
     return wrapped
 
 
+def make_traced_eval(n_points: int, test_grad: bool, test_hessian: bool):
+    """(names, fn) with fn(sol, eq, key) -> stacked metric values.
+
+    Pure and jit-safe: designed to be traced INTO a larger jitted program
+    (the fused train+eval iteration scan in training/picard.py), where
+    eval_solution's host-side batching and per-call readback would break
+    the dispatch chain (~70 ms/segment through the remote tunnel). Points
+    are sampled and metrics reduced exactly as eval_solution does with
+    batch_size=None, so the two agree to float tolerance. ``names`` is
+    filled at first trace (the same discovery trick as _eval_metrics_fn)
+    in sorted order.
+    """
+    run = _eval_batch_fn(test_grad, test_hessian)
+    names: list = []
+
+    def metrics_dict(cat):
+        metrics = value_metrics(cat["u"], cat["u_exact"])
+        if test_grad:
+            metrics.update(grad_metrics(cat["g"], cat["g_exact"],
+                                        prefix="g"))
+            if test_hessian:
+                metrics.update(grad_metrics(cat["h"], cat["h_exact"],
+                                            prefix="h"))
+        return metrics
+
+    def fn(sol, eq, key):
+        t = jnp.linspace(0.0, eq.T, n_points)[:, None]
+        x = eq.sample_x(key, t)
+        cat = run(sol, eq, t, x)
+        if not names:
+            names.extend(sorted(jax.eval_shape(metrics_dict, cat)))
+        md = metrics_dict(cat)
+        return jnp.stack([md[n] for n in names])
+
+    return names, fn
+
+
 def eval_solution(key, sol: Solution, eq, n_points: int,
                   test_grad: bool = False, test_hessian: bool = False,
                   batch_size: Optional[int] = None) -> Dict[str, float]:

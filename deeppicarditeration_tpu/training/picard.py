@@ -385,6 +385,107 @@ class PicardRunner:
 
         return jax.jit(run_epochs, donate_argnums=(0,))
 
+    def _make_fused_freq_scan(self, steps: int, bs: int, seg: int,
+                              shuffle: bool, n_epochs: int, eval_cfg):
+        """All epochs AND the in-training eval in ONE dispatch.
+
+        The segmented loop in _train_iteration pays, per EVAL.FREQ
+        segment, a blocking metric readback plus an eval_solution call
+        with its own readback — ~70 ms each through the remote-TPU
+        tunnel, x16 segments/iteration in the shipped recipes (the
+        dominant non-generation cost; see PERFORMANCE.md). Here the
+        epoch/segment/step structure runs as nested lax.scans with the
+        eval traced in at segment boundaries, and everything crosses to
+        host in one readback afterwards. Key derivation (epoch fold_in,
+        permutation, step-key split, eval fold_in(k_ep, 2 + s0)) matches
+        the unfused loop exactly, so both paths produce the same
+        trajectory (tests/test_eval_freq_path.py asserts it).
+
+        ``eval_cfg``: None (no in-training eval; train metrics only) or
+        (n_points, test_grad, test_hessian). Returns (jitted_run, names).
+        """
+        step_body = make_step_body(self.module, self.tx_opt, self.spec,
+                                   self._opt_needs_value)
+        nseg = steps // seg
+        names = eval_fn = None
+        if eval_cfg is not None:
+            from deeppicarditeration_tpu.evaluation.evaluator import (
+                make_traced_eval,
+            )
+
+            names, eval_fn = make_traced_eval(*eval_cfg)
+        module, net_type, nx = self.module, self.net_type, self.equation.nx
+
+        def run(state: TrainState, ds_tx, ds_y, key, eq):
+            n = ds_tx.shape[0]
+
+            def epoch_body(st, epoch):
+                k_ep = jax.random.fold_in(key, epoch)
+                perm = (jax.random.permutation(jax.random.fold_in(k_ep, 0),
+                                               n)
+                        if shuffle else jnp.arange(n))[: steps * bs]
+                txs = jnp.take(ds_tx, perm, axis=0).reshape(
+                    nseg, seg, bs, -1)
+                ys = jnp.take(ds_y, perm, axis=0).reshape(nseg, seg, bs, -1)
+                keys = jax.random.split(jax.random.fold_in(k_ep, 1), steps)
+                keys = keys.reshape(nseg, seg, *keys.shape[1:])
+
+                def seg_body(st2, seg_in):
+                    txs_s, ys_s, keys_s, j = seg_in
+
+                    def body(s, batch):
+                        tx, y, k = batch
+                        return step_body(s, tx, y, k)
+
+                    st2, ms = jax.lax.scan(body, st2, (txs_s, ys_s, keys_s))
+                    last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+                    if eval_fn is None:
+                        return st2, (last, jnp.zeros((0,)))
+                    sol = Solution.from_net(module, st2.params, net_type, nx)
+                    ek = jax.random.fold_in(k_ep, 2 + j * seg)
+                    return st2, (last, eval_fn(sol, eq, ek))
+
+                return jax.lax.scan(seg_body, st,
+                                    (txs, ys, keys, jnp.arange(nseg)))
+
+            return jax.lax.scan(epoch_body, state, jnp.arange(n_epochs))
+
+        return jax.jit(run, donate_argnums=(0,)), names
+
+    def _run_fused_freq(self, key, state: TrainState, ds: DeviceDataset,
+                        steps: int, bs: int, seg: int, n_epochs: int,
+                        eval_cfg) -> TrainState:
+        shuffle = self.cfg.DATA.SHUFFLE is not False
+        nseg = steps // seg
+        run, names = self._jitted(
+            ("fused_freq", steps, bs, seg, shuffle, n_epochs, eval_cfg),
+            lambda: self._make_fused_freq_scan(steps, bs, seg, shuffle,
+                                               n_epochs, eval_cfg))
+        with step_timer("train[fused+eval]") as tm:
+            state, (train_ms, eval_vals) = run(state, ds.tx, ds.y, key,
+                                               self.equation)
+            tm.set(train_ms)
+        # ONE readback for the whole iteration's train + eval metrics
+        train_ms, eval_vals = jax.device_get((train_ms, eval_vals))
+        start = self.global_step
+        for e in range(n_epochs):
+            for j in range(nseg):
+                gs = start + e * steps + (j + 1) * seg
+                row = {k: float(v[e, j]) for k, v in train_ms.items()}
+                self.logger.log({**row, "iter": self.i, "epoch": e}, gs,
+                                context="train")
+                if eval_cfg is not None:
+                    em = {nm: float(eval_vals[e, j, ki])
+                          for ki, nm in enumerate(names)}
+                    em["iter"] = self.i
+                    em["lr"] = self._lr_fn(gs)
+                    self.logger.log(em, gs, context="eval")
+        self.global_step += n_epochs * steps
+        last_loss = {k: float(v[-1, -1]) for k, v in train_ms.items()}
+        self.progress.update_train(n_epochs * steps,
+                                   last_loss.get("train_loss"))
+        return state
+
     def _train_iteration(self, key, state: TrainState,
                          ds: DeviceDataset) -> TrainState:
         cfg = self.cfg
@@ -415,6 +516,21 @@ class PicardRunner:
             self.progress.update_train(n_epochs * steps,
                                        metrics.get("train_loss"))
             return state
+
+        steps = ds.size // bs
+        seg = min(int(freq), steps)
+        n_points = int(cfg.EVAL.L2_N_POINTS)
+        do_eval = bool(self.equation.has_exact_solution)
+        eval_bs = cfg.EVAL.BATCH_SIZE
+        if (_tri_state(cfg.TRAIN.FUSED) is not False
+                and steps % seg == 0
+                and not cfg.EVAL.REFERENCE_FILE
+                and (not do_eval or eval_bs is None
+                     or int(eval_bs) >= n_points)):
+            eval_cfg = ((n_points, bool(cfg.EVAL.TEST_GRAD),
+                         bool(cfg.EVAL.TEST_HESSIAN)) if do_eval else None)
+            return self._run_fused_freq(key, state, ds, steps, bs, seg,
+                                        n_epochs, eval_cfg)
 
         run_steps = self._jitted("multi_step", self._make_multi_step)
 

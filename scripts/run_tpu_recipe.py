@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--override", nargs="*", default=[])
     ap.add_argument("--resume", action="store_true",
                     help="continue from the latest checkpoint in exp dir")
+    ap.add_argument("--keep-freq", action="store_true",
+                    help="keep the recipe's EVAL.FREQ (in-training eval "
+                         "via the fused train+eval scan) instead of "
+                         "overriding it to None")
     args = ap.parse_args()
 
     from deeppicarditeration_tpu.utils.compile_cache import (
@@ -38,7 +42,7 @@ def main():
     from deeppicarditeration_tpu.evaluation.evaluator import eval_solution
     from deeppicarditeration_tpu.training.picard import PicardRunner
 
-    overrides = ["EVAL.FREQ", "None"]
+    overrides = [] if args.keep_freq else ["EVAL.FREQ", "None"]
     if args.resume:
         overrides += ["RESUME", "true"]
     if args.iters:

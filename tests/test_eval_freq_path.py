@@ -23,6 +23,52 @@ def test_eval_freq_segments_and_logs(tmp_path):
     assert all("rRMSEg" in r for r in evals)  # TEST_GRAD: true in fixture
 
 
+def test_fused_freq_matches_unfused_loop(tmp_path):
+    """TRAIN.FUSED's one-dispatch train+eval scan reproduces the unfused
+    segmented loop exactly: same key derivation => same trajectory, and
+    the logged metric rows agree row-for-row."""
+    import numpy as np
+
+    rows = {}
+    for name, fused in (("fused_on", "auto"), ("fused_off", False)):
+        cfg = _tiny_cfg(tmp_path, **{"NAME": name, "PICARD.N": 1,
+                                     "TRAIN.N_EPOCHS": 3, "EVAL.FREQ": 2,
+                                     "TRAIN.FUSED": fused,
+                                     "EVAL.L2_N_POINTS": 100})
+        runner = PicardRunner(cfg, exp_root=tmp_path)
+        runner.run()
+        rows[name] = [json.loads(l) for l in
+                      (runner.exp_dir / "metrics.jsonl")
+                      .read_text().splitlines()]
+    a, b = rows["fused_on"], rows["fused_off"]
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra["step"] == rb["step"] and ra["context"] == rb["context"]
+        for k in ra:
+            if k in ("time",):
+                continue
+            va, vb = ra[k], rb.get(k)
+            if isinstance(va, float):
+                assert np.isclose(va, vb, rtol=1e-4, atol=1e-6), (k, ra, rb)
+            else:
+                assert va == vb, (k, ra, rb)
+
+
+def test_fused_freq_no_oracle_logs_train_only(tmp_path, monkeypatch):
+    """Fused path with an equation lacking a closed form: train rows are
+    still logged per segment, no eval rows, no crash."""
+    cfg = _tiny_cfg(tmp_path, **{"NAME": "fused_noex", "PICARD.N": 1,
+                                 "TRAIN.N_EPOCHS": 2, "EVAL.FREQ": 2})
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    monkeypatch.setattr(type(runner.equation), "has_exact_solution",
+                        property(lambda self: False))
+    runner.run()
+    lines = [json.loads(l) for l in
+             (runner.exp_dir / "metrics.jsonl").read_text().splitlines()]
+    assert [r for r in lines if r["context"] == "train"]
+    assert not [r for r in lines if r["context"] == "eval"]
+
+
 def test_fused_and_segmented_share_loss_scale(tmp_path):
     """Fused (FREQ None) and segmented (FREQ set) paths train equivalently
     well on the same tiny problem."""

@@ -314,3 +314,31 @@ def test_mc_axis_sharded_on_two_axis_mesh(key):
     exact = eq.exact_solution(jnp.zeros((2, 1)), x0)
     np_.testing.assert_allclose(np_.asarray(u), np_.asarray(exact),
                                 atol=0.05)
+
+
+def test_fused_freq_iteration_under_mesh(tmp_path):
+    """The fused train+eval scan (TRAIN.FUSED) on an 8-device mesh vs a
+    1-device mesh: the eval trajectory agrees to dp-reduction-order
+    tolerance, exercising take-over-sharded-dataset + in-scan eval under
+    GSPMD."""
+    import json
+
+    from deeppicarditeration_tpu.training.picard import PicardRunner
+    from tests.test_picard_e2e import _tiny_cfg
+
+    rows = {}
+    for name, shape in (("fmesh1", [1]), ("fmesh8", [8])):
+        cfg = _tiny_cfg(tmp_path, **{"NAME": name, "PICARD.N": 1,
+                                     "TRAIN.N_EPOCHS": 2, "EVAL.FREQ": 2,
+                                     "MESH.SHAPE": shape,
+                                     "EVAL.L2_N_POINTS": 200})
+        runner = PicardRunner(cfg, exp_root=tmp_path)
+        assert runner.mesh.devices.size == shape[0]
+        runner.run()
+        rows[name] = [json.loads(l) for l in
+                      (runner.exp_dir / "metrics.jsonl")
+                      .read_text().splitlines()]
+    ev1 = [r["rRMSE"] for r in rows["fmesh1"] if r["context"] == "eval"]
+    ev8 = [r["rRMSE"] for r in rows["fmesh8"] if r["context"] == "eval"]
+    assert len(ev1) == len(ev8) == 4  # 2 epochs x (4 steps / freq 2)
+    np.testing.assert_allclose(ev1, ev8, rtol=5e-3)
