@@ -62,6 +62,26 @@ from deeppicarditeration_tpu.utils.profiling import step_timer
 from deeppicarditeration_tpu.utils.progress import PicardProgress
 
 
+def _train_keys(key, n_epochs: int):
+    """(shuffle_keys, step_keys), each (n_epochs, ...): the CANONICAL
+    per-epoch training-key derivation shared by all three training paths
+    (EVAL.FREQ=None epoch scan, fused freq scan, unfused segmented loop).
+
+    The derivation is part of the framework's reproducibility contract:
+    a recipe's trajectory must not depend on which execution path runs
+    it. This is not cosmetic — the HJB 100-d recipe (unbounded -log GMM
+    targets, RELOAD warm starts) is chaotically sensitive to the shuffle
+    stream: an earlier fold_in(key, epoch)-based derivation used only by
+    the segmented path converged to rRMSE 0.033 by iteration 30 and then
+    diverged to 1e7 by iteration 36, bitwise-reproduced through two
+    independent execution paths (bench_results/
+    hjb100d_tpu_fusedfreq_full.jsonl), while this derivation has four
+    recorded stable 40-iteration runs. SAMPLE_BOUND remains the
+    reference-parity guard for such recipes (data.py:208-222)."""
+    return (jax.random.split(jax.random.fold_in(key, 0), n_epochs),
+            jax.random.split(jax.random.fold_in(key, 1), n_epochs))
+
+
 def _fetch_metrics(metrics) -> dict:
     """Dict of device scalars -> dict of floats in ONE host readback
     (per-scalar float() each pays the remote-tunnel round trip)."""
@@ -418,16 +438,20 @@ class PicardRunner:
 
         def run(state: TrainState, ds_tx, ds_y, key, eq):
             n = ds_tx.shape[0]
+            # canonical derivation — this path reproduces the
+            # EVAL.FREQ=None trajectories exactly; the eval keys ride a
+            # separate per-epoch stream (they never touch training)
+            shuffle_keys, step_keys = _train_keys(key, n_epochs)
 
-            def epoch_body(st, epoch):
+            def epoch_body(st, ek_in):
+                epoch, k_shuf, k_steps = ek_in
                 k_ep = jax.random.fold_in(key, epoch)
-                perm = (jax.random.permutation(jax.random.fold_in(k_ep, 0),
-                                               n)
+                perm = (jax.random.permutation(k_shuf, n)
                         if shuffle else jnp.arange(n))[: steps * bs]
                 txs = jnp.take(ds_tx, perm, axis=0).reshape(
                     nseg, seg, bs, -1)
                 ys = jnp.take(ds_y, perm, axis=0).reshape(nseg, seg, bs, -1)
-                keys = jax.random.split(jax.random.fold_in(k_ep, 1), steps)
+                keys = jax.random.split(k_steps, steps)
                 keys = keys.reshape(nseg, seg, *keys.shape[1:])
 
                 def seg_body(st2, seg_in):
@@ -448,7 +472,9 @@ class PicardRunner:
                 return jax.lax.scan(seg_body, st,
                                     (txs, ys, keys, jnp.arange(nseg)))
 
-            return jax.lax.scan(epoch_body, state, jnp.arange(n_epochs))
+            return jax.lax.scan(epoch_body, state,
+                                (jnp.arange(n_epochs), shuffle_keys,
+                                 step_keys))
 
         return jax.jit(run, donate_argnums=(0,)), names
 
@@ -500,10 +526,7 @@ class PicardRunner:
             run_epochs = self._jitted(("epoch_scan", steps, bs, shuffle),
                                       lambda: self._make_epoch_scan(
                                           steps, bs, shuffle))
-            shuffle_keys = jax.random.split(jax.random.fold_in(key, 0),
-                                            n_epochs)
-            step_keys = jax.random.split(jax.random.fold_in(key, 1),
-                                         n_epochs)
+            shuffle_keys, step_keys = _train_keys(key, n_epochs)
             with step_timer("train[fused]") as tm:
                 state, metrics = run_epochs(state, ds.tx, ds.y,
                                             shuffle_keys, step_keys)
@@ -534,14 +557,18 @@ class PicardRunner:
 
         run_steps = self._jitted("multi_step", self._make_multi_step)
 
+        # canonical derivation: see _train_keys — all three training paths
+        # must batch and key identically so trajectories are
+        # path-independent
+        shuffle_keys, step_keys_e = _train_keys(key, n_epochs)
         for epoch in range(n_epochs):
-            k_ep = jax.random.fold_in(key, epoch)
-            txs, ys = epoch_batches(jax.random.fold_in(k_ep, 0), ds, bs,
+            k_ep = jax.random.fold_in(key, epoch)  # eval-key stream only
+            txs, ys = epoch_batches(shuffle_keys[epoch], ds, bs,
                                     shuffle=cfg.DATA.SHUFFLE is not False)
             txs = jax.device_put(txs, self.batch_sharding)
             ys = jax.device_put(ys, self.batch_sharding)
             steps = txs.shape[0]
-            keys = jax.random.split(jax.random.fold_in(k_ep, 1), steps)
+            keys = jax.random.split(step_keys_e[epoch], steps)
             seg = int(freq) if freq else steps
             for s0 in range(0, steps, seg):
                 s1 = min(s0 + seg, steps)

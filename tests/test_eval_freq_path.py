@@ -69,6 +69,32 @@ def test_fused_freq_no_oracle_logs_train_only(tmp_path, monkeypatch):
     assert not [r for r in lines if r["context"] == "eval"]
 
 
+def test_training_trajectory_path_independent(tmp_path):
+    """The reproducibility contract (_train_keys): EVAL.FREQ=None scan,
+    fused freq scan, and unfused segmented loop batch and key the
+    training identically, so the final parameters agree regardless of
+    which execution path ran the recipe."""
+    import jax
+    import numpy as np
+
+    params = {}
+    for name, freq, fused in (("pi_none", None, "auto"),
+                              ("pi_fused", 2, "auto"),
+                              ("pi_loop", 2, False)):
+        cfg = _tiny_cfg(tmp_path, **{"NAME": name, "PICARD.N": 1,
+                                     "TRAIN.N_EPOCHS": 4, "EVAL.FREQ": freq,
+                                     "TRAIN.FUSED": fused,
+                                     "EVAL.L2_N_POINTS": 100})
+        runner = PicardRunner(cfg, exp_root=tmp_path)
+        runner.run()
+        params[name] = jax.tree_util.tree_leaves(runner.u_current.params)
+    for other in ("pi_fused", "pi_loop"):
+        for a, b in zip(params["pi_none"], params[other]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=other)
+
+
 def test_fused_and_segmented_share_loss_scale(tmp_path):
     """Fused (FREQ None) and segmented (FREQ set) paths train equivalently
     well on the same tiny problem."""
