@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from deeppicarditeration_tpu.evaluation.evaluator import eval_solution
 from deeppicarditeration_tpu.models.factory import (
     init_solution,
     is_enforce_terminal,
@@ -371,6 +370,7 @@ def train_dbdp(runner, key):
         return jax.tree_util.tree_map(lambda a: a[kk], stacked_opt)
 
     step_counter = 0
+    pending = []  # per-timestep (kk, step, wall, loss, eval) device values
     runner.progress.start_iteration(runner.i, n_epochs * K)
     t_start = time.perf_counter()
     for epoch in range(n_epochs):
@@ -397,14 +397,22 @@ def train_dbdp(runner, key):
             stacked_opt = jax.tree_util.tree_map(
                 lambda a, b: a.at[kk - 1].set(b), stacked_opt, opt_state)
             step_counter += num_sub_iter
-            runner.progress.update_train(epoch * K + (K - kk + 1),
-                                         float(loss))
-            runner.logger.log({"loss": float(loss), "k": kk, "epoch": epoch,
-                               "wall_time": time.perf_counter() - t_start},
-                              step_counter, context="dbdp")
-            if eq.has_exact_solution:
-                em = eval_grid(stacked, jax.random.fold_in(kkk, 777))
-                runner.logger.log(em, step_counter, context="eval")
+            # defer loss/eval readbacks: each float()/eval fetch here is a
+            # blocking tunnel round trip x K timesteps; collect device
+            # values and fetch them in ONE device_get after the sweep
+            em = (eval_grid(stacked, jax.random.fold_in(kkk, 777))
+                  if eq.has_exact_solution else None)
+            pending.append((kk, step_counter,
+                            time.perf_counter() - t_start, loss, em))
+            runner.progress.update_train(epoch * K + (K - kk + 1), None)
+        for kk, sc, wall, loss_f, em in jax.device_get(pending):
+            runner.logger.log({"loss": float(loss_f), "k": int(kk),
+                               "epoch": epoch, "wall_time": float(wall)},
+                              int(sc), context="dbdp")
+            if em is not None:
+                runner.logger.log({k: float(v) for k, v in em.items()},
+                                  int(sc), context="eval")
+        pending.clear()
         # per-epoch periodic save (async) so a killed multi-epoch sweep
         # keeps its last full backward pass (solution.py:520 parity).
         # A SEPARATE path, never model_{i}: a mid-run model_{i} would
@@ -466,10 +474,9 @@ def _make_dbdp_eval(u_mod, ts_grid, K, eq, n: int = 100):
         us, exacts = jax.vmap(per_k)(stacked, ts_grid, keys)
         return value_metrics(us.reshape(-1, 1), exacts.reshape(-1, 1))
 
-    def eval_host(stacked, key):
-        return {k: float(v) for k, v in eval_grid(stacked, key).items()}
-
-    return eval_host
+    # returns DEVICE scalars — the caller batches the host readback (one
+    # device_get per epoch, not per timestep)
+    return eval_grid
 
 
 # ---------------------------------------------------------------------------
@@ -518,6 +525,19 @@ def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
                   "starting fresh")
             start, wall_base = 0, 0.0
 
+    # oracle eval traced into the chunk jit (same fusion as the Picard
+    # path's TRAIN.FUSED): the separate eval_solution dispatch + readback
+    # per chunk cost ~0.1 s each through the remote tunnel x hundreds of
+    # chunks per baseline budget
+    names = eval_fn = None
+    if eq.has_exact_solution:
+        from deeppicarditeration_tpu.evaluation.evaluator import (
+            make_traced_eval,
+        )
+
+        names, eval_fn = make_traced_eval(int(cfg.EVAL.L2_N_POINTS),
+                                          bool(cfg.EVAL.TEST_GRAD), False)
+
     @partial(jax.jit, static_argnames=("n",), donate_argnums=(0, 1))
     def run_chunk(params, opt_state, e0, n):
         def body(carry, e):
@@ -527,19 +547,28 @@ def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
 
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), e0 + jnp.arange(n))
-        return params, opt_state, losses[-1]
+        if eval_fn is None:
+            ev = jnp.zeros((0,))
+        else:
+            sol = Solution.from_net(runner.module, params,
+                                    runner.net_type, eq.nx)
+            ev = eval_fn(sol, eq, jax.random.fold_in(key, 900 + e0 + n - 1))
+        return params, opt_state, losses[-1], ev
 
     loss = jnp.zeros(())
     runner.progress.start_iteration(runner.i, n_epochs)
     t_start = time.perf_counter()
     for e0 in range(start, n_epochs, log_interval):
         n = min(log_interval, n_epochs - e0)
-        params, opt_state, loss = run_chunk(params, opt_state,
-                                            jnp.asarray(e0), n)
+        params, opt_state, loss, ev = run_chunk(params, opt_state,
+                                                jnp.asarray(e0), n)
         epoch = e0 + n - 1
+        # ONE readback for loss + the chunk's eval metric stack
+        loss_f, ev_vals = jax.device_get((loss, ev))
+        loss_f = float(loss_f)
         wall = wall_base + (time.perf_counter() - t_start)
-        runner.progress.update_train(e0 + n, float(loss))
-        runner.logger.log({"loss": float(loss), "epoch": epoch,
+        runner.progress.update_train(e0 + n, loss_f)
+        runner.logger.log({"loss": loss_f, "epoch": epoch,
                            "wall_time": wall}, epoch, context=tag)
         # periodic state; the final model_{i} below stays params-only so
         # evaluators/RELOAD see the same layout as Picard. BLOCKING save,
@@ -552,12 +581,8 @@ def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
                          block=True)
         meta_path.write_text(json.dumps({"epoch": e0 + n,
                                          "wall_time": wall}))
-        if eq.has_exact_solution:
-            sol = Solution.from_net(runner.module, params,
-                                    runner.net_type, eq.nx)
-            em = eval_solution(jax.random.fold_in(key, 900 + epoch), sol,
-                               eq, int(cfg.EVAL.L2_N_POINTS),
-                               test_grad=bool(cfg.EVAL.TEST_GRAD))
+        if eval_fn is not None:
+            em = {nm: float(v) for nm, v in zip(names, ev_vals)}
             em["wall_time"] = wall
             runner.logger.log(em, epoch, context="eval")
     ckpt.save_params(ckpt.ckpt_path(runner.exp_dir, runner.i), params)
