@@ -271,6 +271,13 @@ def default_cfg() -> Config:
     # OOM-probing GPUMemoryTracker, memory.py:117-208 -- static shapes
     # make ahead-of-time sizing exact).
     c.DATA.CHUNK_ELEMS = 2 ** 22  # target batch*m_chunk elements per scan step
+    # Collocation points per generation DISPATCH. None (default) derives a
+    # bound from CHUNK_ELEMS (data.dataset.default_gen_batch) so that the
+    # reference-default DATA_SIZE = 10.24M generates in bounded dispatches
+    # with a sane per-step MC chunk instead of one jit whose B*nx alone
+    # exceeds CHUNK_ELEMS (mc degenerates to 1 and every scan step
+    # materializes a multi-GB intermediate).
+    c.DATA.GEN_BATCH = None
     # TPU estimator-kernel switches (GenConfig flags; see ops/estimators.py
     # and ops/pallas_kernels.py; defaults reflect measured v5e A/Bs)
     c.DATA.TPU = Config()

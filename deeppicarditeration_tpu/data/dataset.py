@@ -35,6 +35,28 @@ class DeviceDataset:
         return self.tx.shape[0]
 
 
+def default_gen_batch(n_total: int, chunk_elems: int, nx: int,
+                      ndev: int = 1) -> int:
+    """Derived bound on collocation points per generation dispatch.
+
+    GenConfig.chunk picks the per-scan-step MC chunk as the largest
+    divisor of M with B * mc * nx <= chunk_elems. With the reference's
+    DEFAULT ``DATA.DATA_SIZE = 2048 * 5000 = 10.24M`` (reference
+    config.py DATA.DATA_SIZE) in ONE dispatch, B * nx alone exceeds
+    chunk_elems: mc degenerates to 1 and the scan runs M sequential steps
+    each materializing a multi-GB (B, 1, nx) draw. Bounding
+    B <= chunk_elems / (8 * nx) keeps mc >= ~8 (the shipped recipes'
+    measured operating point) and the per-dispatch working set at the
+    same scale the kernels were tuned for. Rounded down to a multiple of
+    1024 (and of the mesh data-axis size) for clean tiling/sharding."""
+    cap = max(1, chunk_elems // (8 * max(nx, 1)))
+    if cap >= 2048:
+        cap -= cap % 1024
+    if ndev > 1 and cap > ndev:
+        cap -= cap % ndev
+    return min(n_total, max(cap, ndev))
+
+
 def generate_dataset(key, eq, sol: Solution, n_total: int,
                      gen: est.GenConfig, mode: str,
                      sol_m2: Optional[Solution] = None,
@@ -115,21 +137,54 @@ def data_save_ext(save_format: str) -> str:
         f"DATA.SAVE_FORMAT must be 'npz' or 'h5', got {save_format!r}")
 
 
-def save_dataset(path: pathlib.Path, ds: DeviceDataset) -> None:
+def save_dataset(path: pathlib.Path, ds: DeviceDataset,
+                 provenance: Optional[dict] = None) -> None:
     """Persist a generated dataset (DATA.SAVE, data.py:1498-1520).
 
     ``.npz`` (default) or ``.h5``/``.hdf5`` (the reference's format,
     data_saver.py:25-54: per-label datasets ``tx`` and targets; we write the
-    target block under ``y``)."""
+    target block under ``y``).
+
+    ``provenance`` (a JSON-serializable dict — seed, iteration, estimator
+    fingerprint) is stamped into the file so the RESUME replay path can
+    refuse a stale file from an earlier FORCE run with different settings
+    (load_provenance)."""
+    import json
+
     path.parent.mkdir(parents=True, exist_ok=True)
+    prov = json.dumps(provenance) if provenance is not None else None
     if path.suffix in (".h5", ".hdf5"):
         import h5py
 
         with h5py.File(path, "w") as f:
             f.create_dataset("tx", data=np.asarray(ds.tx))
             f.create_dataset("y", data=np.asarray(ds.y))
+            if prov is not None:
+                f.attrs["provenance"] = prov
         return
-    np.savez_compressed(path, tx=np.asarray(ds.tx), y=np.asarray(ds.y))
+    extra = {"provenance": np.asarray(prov)} if prov is not None else {}
+    np.savez_compressed(path, tx=np.asarray(ds.tx), y=np.asarray(ds.y),
+                        **extra)
+
+
+def load_provenance(path) -> Optional[dict]:
+    """The provenance stamp save_dataset wrote, or None (unstamped file —
+    written before stamping existed, or an offline/reference file)."""
+    import json
+
+    path = pathlib.Path(path)
+    if path.suffix == ".npz":
+        z = np.load(path)
+        if "provenance" in getattr(z, "files", ()):
+            return json.loads(str(z["provenance"]))
+        return None
+    if path.suffix in (".h5", ".hdf5"):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            prov = f.attrs.get("provenance")
+        return json.loads(prov) if prov is not None else None
+    return None
 
 
 def load_dataset(path, dtype=jnp.float32) -> DeviceDataset:

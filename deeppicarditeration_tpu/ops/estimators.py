@@ -57,6 +57,20 @@ def largest_divisor(n: int, cap: int, step: int = 1) -> int:
            if step == 2 else ""))
 
 
+def sublane_tile(b: int, cap: int) -> Optional[int]:
+    """Batch tile for the Pallas kernels, or None when the batch cannot
+    tile to the 8-row f32 sublane.
+
+    The kernels split the batch as largest_divisor(b, tile_b); a batch
+    whose only divisors under the cap are < 8 or not multiples of 8 (a
+    prime batch, or 4 rows per device after sharding) would produce
+    (tile, 1 + nx_pad) blocks below/astride the 8-row sublane — at best
+    slow, at worst a Mosaic layout failure that only the merged kernel's
+    trial compile would catch. Such batches take the XLA path instead."""
+    tile = largest_divisor(b, cap)
+    return tile if tile % 8 == 0 else None
+
+
 @dataclasses.dataclass(frozen=True)
 class GenConfig:
     """Static generation parameters (hashable; safe to close over in jit)."""
@@ -231,27 +245,33 @@ def _forced_pallas_draws(key, tx, m: int, antithetic: bool,
 def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
     """E[(g(X_T) - g(x)) (1, Y)] + (g(x), 0); (B, 1 + nx)."""
     if gen.pallas_terminal:
-        from deeppicarditeration_tpu.ops.pallas_kernels import (
-            seed_from_key,
-            terminal_with_gradients_pallas,
-            terminal_with_gradients_pallas_sharded,
-        )
-
-        draws = _forced_pallas_draws(key, tx, gen.n_estimate_terminal,
-                                     gen.antithetic)
         ndev = _mesh_ndev(gen)
         # tile_b=512/mblk=8: measured best on v5e (93 ms vs 111 ms XLA at
         # B=4096, M=4096, nx=100); tile 1024 or mblk 32 overflow VMEM.
         # Non-divisible batch: single-device kernel (replicated under a
         # multi-chip pjit — wasteful but correct), not a hard error.
-        if ndev is not None and ndev > 1 and tx.shape[0] % ndev == 0:
-            return terminal_with_gradients_pallas_sharded(
+        sharded = (ndev is not None and ndev > 1
+                   and tx.shape[0] % ndev == 0)
+        b_local = tx.shape[0] // ndev if sharded else tx.shape[0]
+        if sublane_tile(b_local, 512) is None:
+            pass  # sublane-degenerate batch: XLA fallback below
+        else:
+            from deeppicarditeration_tpu.ops.pallas_kernels import (
+                seed_from_key,
+                terminal_with_gradients_pallas,
+                terminal_with_gradients_pallas_sharded,
+            )
+
+            draws = _forced_pallas_draws(key, tx, gen.n_estimate_terminal,
+                                         gen.antithetic)
+            if sharded:
+                return terminal_with_gradients_pallas_sharded(
+                    seed_from_key(key), eq, tx, gen.n_estimate_terminal,
+                    mesh=gen.mesh, axis=gen.mesh_axis, tile_b=512, mblk=8,
+                    antithetic=gen.antithetic, **draws)
+            return terminal_with_gradients_pallas(
                 seed_from_key(key), eq, tx, gen.n_estimate_terminal,
-                mesh=gen.mesh, axis=gen.mesh_axis, tile_b=512, mblk=8,
-                antithetic=gen.antithetic, **draws)
-        return terminal_with_gradients_pallas(
-            seed_from_key(key), eq, tx, gen.n_estimate_terminal,
-            tile_b=512, mblk=8, antithetic=gen.antithetic, **draws)
+                tile_b=512, mblk=8, antithetic=gen.antithetic, **draws)
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_terminal
@@ -332,29 +352,36 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
     """E[(T-t)(f - f0)(1, Ys)] + (f0 (T-t), 0); (B, 1 + nx)."""
     if (gen.pallas_integral and eq.has_gradient_term
             and not eq.has_hessian_term and not eq.has_laplacian_term):
-        from deeppicarditeration_tpu.ops.pallas_kernels import (
-            integral_with_gradients_pallas,
-            integral_with_gradients_pallas_sharded,
-            seed_from_key,
-        )
-
-        draws = _forced_pallas_draws(key, tx, gen.n_estimate_integral,
-                                     gen.antithetic, with_u01=True)
         ndev = _mesh_ndev(gen)
         # tile_b=128/mblk=8: measured best on v5e (282 ms vs 347 ms XLA at
         # B=4096, M=4096, nx=100, 4x128 MLP); bigger tiles overflow VMEM
         # (the in-kernel net fwd+vjp holds ~8 MB of activations).
         # Non-divisible batch: single-device kernel, as the terminal path.
-        if ndev is not None and ndev > 1 and tx.shape[0] % ndev == 0:
-            return integral_with_gradients_pallas_sharded(
-                seed_from_key(key, 1), eq, sol, tx,
-                gen.n_estimate_integral, mesh=gen.mesh, axis=gen.mesh_axis,
+        sharded = (ndev is not None and ndev > 1
+                   and tx.shape[0] % ndev == 0)
+        b_local = tx.shape[0] // ndev if sharded else tx.shape[0]
+        if sublane_tile(b_local, 128) is None:
+            pass  # sublane-degenerate batch: XLA fallback below
+        else:
+            from deeppicarditeration_tpu.ops.pallas_kernels import (
+                integral_with_gradients_pallas,
+                integral_with_gradients_pallas_sharded,
+                seed_from_key,
+            )
+
+            draws = _forced_pallas_draws(key, tx, gen.n_estimate_integral,
+                                         gen.antithetic, with_u01=True)
+            if sharded:
+                return integral_with_gradients_pallas_sharded(
+                    seed_from_key(key, 1), eq, sol, tx,
+                    gen.n_estimate_integral, mesh=gen.mesh,
+                    axis=gen.mesh_axis, tile_b=128, mblk=8,
+                    antithetic=gen.antithetic,
+                    mxu_precision=gen.pallas_precision, **draws)
+            return integral_with_gradients_pallas(
+                seed_from_key(key, 1), eq, sol, tx, gen.n_estimate_integral,
                 tile_b=128, mblk=8, antithetic=gen.antithetic,
                 mxu_precision=gen.pallas_precision, **draws)
-        return integral_with_gradients_pallas(
-            seed_from_key(key, 1), eq, sol, tx, gen.n_estimate_integral,
-            tile_b=128, mblk=8, antithetic=gen.antithetic,
-            mxu_precision=gen.pallas_precision, **draws)
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_integral
@@ -621,18 +648,22 @@ def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
             return None
         b_local = b // ndev
     if mode is True:
-        return 128, False
-    if jax.default_backend() != "tpu":
-        return None
-    if ndev is None and len(jax.devices()) != 1:
-        return None
-    from deeppicarditeration_tpu.ops.pallas_kernels import (
-        pick_generate_tile,
-    )
+        spec = (128, False)
+    else:
+        if jax.default_backend() != "tpu":
+            return None
+        if ndev is None and len(jax.devices()) != 1:
+            return None
+        from deeppicarditeration_tpu.ops.pallas_kernels import (
+            pick_generate_tile,
+        )
 
-    return pick_generate_tile(eq, sol, sol.nx, b_local,
-                              antithetic=gen.antithetic,
-                              mxu_precision=gen.pallas_precision)
+        spec = pick_generate_tile(eq, sol, sol.nx, b_local,
+                                  antithetic=gen.antithetic,
+                                  mxu_precision=gen.pallas_precision)
+    if spec is None or sublane_tile(b_local, spec[0]) is None:
+        return None  # sublane-degenerate batch: XLA path
+    return spec
 
 
 def generate_values(key, eq, sol: Solution, tx, gen: GenConfig):

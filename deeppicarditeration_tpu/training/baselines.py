@@ -370,9 +370,10 @@ def train_dbdp(runner, key):
         return jax.tree_util.tree_map(lambda a: a[kk], stacked_opt)
 
     step_counter = 0
-    pending = []  # per-timestep (kk, step, wall, loss, eval) device values
+    pending = []  # per-timestep (kk, step, loss, eval) device values
     runner.progress.start_iteration(runner.i, n_epochs * K)
     t_start = time.perf_counter()
+    wall0 = 0.0  # wall at the previous epoch's readback barrier
     for epoch in range(n_epochs):
         kep = jax.random.fold_in(key, 31 + epoch)
         if not enforce:
@@ -402,16 +403,23 @@ def train_dbdp(runner, key):
             # values and fetch them in ONE device_get after the sweep
             em = (eval_grid(stacked, jax.random.fold_in(kkk, 777))
                   if eq.has_exact_solution else None)
-            pending.append((kk, step_counter,
-                            time.perf_counter() - t_start, loss, em))
+            pending.append((kk, step_counter, loss, em))
             runner.progress.update_train(epoch * K + (K - kk + 1), None)
-        for kk, sc, wall, loss_f, em in jax.device_get(pending):
+        fetched = jax.device_get(pending)
+        # dispatch-time walls under-report by up to a full epoch of async
+        # device compute (the device_get above is the real barrier):
+        # interpolate per-timestep walls between the previous and current
+        # readback barriers so eval-vs-wall-time curves stay honest
+        wall1 = time.perf_counter() - t_start
+        for idx, (kk, sc, loss_f, em) in enumerate(fetched):
+            wall = wall0 + (wall1 - wall0) * (idx + 1) / len(fetched)
             runner.logger.log({"loss": float(loss_f), "k": int(kk),
                                "epoch": epoch, "wall_time": float(wall)},
                               int(sc), context="dbdp")
             if em is not None:
                 runner.logger.log({k: float(v) for k, v in em.items()},
                                   int(sc), context="eval")
+        wall0 = wall1
         pending.clear()
         # per-epoch periodic save (async) so a killed multi-epoch sweep
         # keeps its last full backward pass (solution.py:520 parity).
@@ -520,7 +528,25 @@ def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
             wall_base = float(meta.get("wall_time", 0.0))
             print(f"RESUME: {tag} baseline from epoch {start} "
                   f"({runner.exp_dir})")
-        except Exception as e:  # uncommitted save from a hard kill
+        except FileNotFoundError as e:
+            # missing or uncommitted (torn, *-tmp) periodic save from a
+            # hard kill: starting fresh is the correct recovery
+            print(f"RESUME: periodic {tag} state missing/uncommitted "
+                  f"({e!r}); starting fresh")
+            start, wall_base = 0, 0.0
+        except Exception as e:
+            # distinguish a torn write (start fresh) from a pytree that no
+            # longer matches the current model/optimizer (a code or config
+            # change since the save) — silently restarting from epoch 0
+            # would mask the latter as "starting fresh"
+            msg = str(e).lower()
+            if ("structur" in msg or "match" in msg or "treedef" in msg
+                    or "metadata tree" in msg):
+                raise RuntimeError(
+                    f"RESUME: periodic {tag} state at {state_path} does "
+                    "not match the current model/optimizer structure "
+                    "(code or config changed since it was written); "
+                    "delete it to start fresh") from e
             print(f"RESUME: periodic {tag} state unusable ({e!r}); "
                   "starting fresh")
             start, wall_base = 0, 0.0

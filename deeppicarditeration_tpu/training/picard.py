@@ -25,9 +25,11 @@ import jax.numpy as jnp
 
 from deeppicarditeration_tpu.data.dataset import (
     DeviceDataset,
+    default_gen_batch,
     epoch_batches,
     generate_dataset,
     load_dataset,
+    load_provenance,
     data_save_ext,
     save_dataset,
 )
@@ -292,11 +294,33 @@ class PicardRunner:
         return self._jit_cache[name]
 
     # ------------------------------------------------------------------
+    def _provenance(self, gen: GenConfig, mode: str, n_total: int,
+                    gen_batch: int) -> dict:
+        """Stamp identifying what determines a generated dataset's values:
+        run seed, Picard iteration (the t-law exponent), generation mode,
+        sizes, dtype, mesh width (the kernel path's per-device seed
+        offsets depend on it) and the full estimator fingerprint. A saved
+        data_iter_{i} file from an earlier FORCE run with ANY of these
+        different must not be replayed as iteration i's targets."""
+        import dataclasses as _dc
+
+        ndev = int(self.mesh.devices.size)
+        return {"seed": self.seed, "iteration": self.i, "mode": mode,
+                "data_size": n_total, "gen_batch": gen_batch,
+                "dtype": str(jnp.dtype(self.dtype)), "ndev": ndev,
+                "gen": repr(_dc.replace(gen, i=0, mesh=None))}
+
     def _make_dataset(self, key, gen: GenConfig, mode: str) -> DeviceDataset:
         cfg = self.cfg
         if not cfg.DATA.ONLINE:
             return load_dataset(cfg.DATA.TRAIN_FILE)
         n_total = int(cfg.DATA.DATA_SIZE)
+        gen_batch = cfg.DATA.get("GEN_BATCH")
+        gen_batch = (int(gen_batch) if gen_batch
+                     else default_gen_batch(n_total, gen.chunk_elems,
+                                            self.equation.nx,
+                                            int(self.mesh.devices.size)))
+        prov = self._provenance(gen, mode, n_total, gen_batch)
         if cfg.RESUME and cfg.DATA.SAVE:
             # mid-iteration resume: a run killed AFTER generating iteration
             # i's dataset but BEFORE its checkpoint replays the saved data
@@ -305,13 +329,22 @@ class PicardRunner:
             ext = data_save_ext(cfg.DATA.SAVE_FORMAT)
             saved = self.exp_dir / f"data_iter_{self.i}.{ext}"
             if saved.exists():
-                ds = load_dataset(saved)
-                if ds.size == n_total:
-                    ds = DeviceDataset(
-                        tx=jax.device_put(ds.tx, self.sharding),
-                        y=jax.device_put(ds.y, self.sharding))
-                    print(f"RESUME: replaying saved dataset {saved.name}")
-                    return ds
+                saved_prov = load_provenance(saved)
+                if saved_prov != prov:
+                    # stale/unstamped file (earlier FORCE run, different
+                    # SEED or estimator config): refuse the replay
+                    print(f"RESUME: saved dataset {saved.name} provenance "
+                          f"mismatch ({saved_prov} != {prov}); "
+                          "regenerating")
+                else:
+                    ds = load_dataset(saved, dtype=self.dtype)
+                    if ds.size == n_total:
+                        ds = DeviceDataset(
+                            tx=jax.device_put(ds.tx, self.sharding),
+                            y=jax.device_put(ds.y, self.sharding))
+                        print(f"RESUME: replaying saved dataset "
+                              f"{saved.name}")
+                        return ds
         sol_m2 = self.u_history[-2] if mode == "two_layer" else None
 
         def builder():
@@ -328,8 +361,9 @@ class PicardRunner:
             @partial(jax.jit, in_shardings=(repl, repl, repl, repl, repl),
                      out_shardings=(shd, shd))
             def sample(k, e, s, s2, expo):
-                return sample_batch(k, e, s, n_total, gen_keyed, mode=mode,
-                                    sol_m2=s2, dtype=self.dtype, t_expo=expo)
+                return sample_batch(k, e, s, gen_batch, gen_keyed,
+                                    mode=mode, sol_m2=s2, dtype=self.dtype,
+                                    t_expo=expo)
 
             return sample
 
@@ -341,16 +375,18 @@ class PicardRunner:
         import dataclasses as _dc
 
         gen_keyed = _dc.replace(gen, i=0)
-        jit_sample = self._jitted(("sample", mode, gen_keyed, n_total),
+        jit_sample = self._jitted(("sample", mode, gen_keyed, gen_batch),
                                   builder)
         ds = generate_dataset(key, self.equation, self.u_current, n_total,
                               gen, mode, sol_m2=sol_m2,
+                              gen_batch=gen_batch,
                               sharding=self.sharding, dtype=self.dtype,
                               jit_sample=jit_sample,
                               t_expo=float(max(gen.N - gen.i + 1, 1)))
         if cfg.DATA.SAVE:
             ext = data_save_ext(cfg.DATA.SAVE_FORMAT)
-            save_dataset(self.exp_dir / f"data_iter_{self.i}.{ext}", ds)
+            save_dataset(self.exp_dir / f"data_iter_{self.i}.{ext}", ds,
+                         provenance=prov)
         return ds
 
     # ------------------------------------------------------------------
@@ -504,7 +540,7 @@ class PicardRunner:
                     em = {nm: float(eval_vals[e, j, ki])
                           for ki, nm in enumerate(names)}
                     em["iter"] = self.i
-                    em["lr"] = self._lr_fn(gs)
+                    em["lr"] = self._lr_fn(gs) * row.get("lr_scale", 1.0)
                     self.logger.log(em, gs, context="eval")
         self.global_step += n_epochs * steps
         last_loss = {k: float(v[-1, -1]) for k, v in train_ms.items()}
@@ -545,15 +581,31 @@ class PicardRunner:
         n_points = int(cfg.EVAL.L2_N_POINTS)
         do_eval = bool(self.equation.has_exact_solution)
         eval_bs = cfg.EVAL.BATCH_SIZE
-        if (_tri_state(cfg.TRAIN.FUSED) is not False
-                and steps % seg == 0
-                and not cfg.EVAL.REFERENCE_FILE
-                and (not do_eval or eval_bs is None
-                     or int(eval_bs) >= n_points)):
+        fused = _tri_state(cfg.TRAIN.FUSED)
+        # seg > 0 guards EVAL.FREQ: 0 (falsy semantics -> no eval, unfused
+        # loop) and steps == 0 (BATCH_SIZE > dataset: fall through to
+        # epoch_batches' informative error) from a ZeroDivisionError here
+        gate_fail = None
+        if seg <= 0:
+            gate_fail = ("EVAL.FREQ/steps <= 0" if freq else None)
+        elif steps % seg != 0:
+            gate_fail = (f"steps ({steps}) is not a multiple of "
+                         f"EVAL.FREQ ({seg})")
+        elif cfg.EVAL.REFERENCE_FILE:
+            gate_fail = "EVAL.REFERENCE_FILE is set"
+        elif do_eval and eval_bs is not None and int(eval_bs) < n_points:
+            gate_fail = (f"EVAL.BATCH_SIZE ({eval_bs}) < EVAL.L2_N_POINTS "
+                         f"({n_points})")
+        if fused is not False and gate_fail is None and seg > 0:
             eval_cfg = ((n_points, bool(cfg.EVAL.TEST_GRAD),
                          bool(cfg.EVAL.TEST_HESSIAN)) if do_eval else None)
             return self._run_fused_freq(key, state, ds, steps, bs, seg,
                                         n_epochs, eval_cfg)
+        if fused is True and gate_fail:
+            # an explicit TRAIN.FUSED: true (not "auto") must not silently
+            # take the slow segmented loop
+            print(f"TRAIN.FUSED: true requested but unavailable "
+                  f"({gate_fail}); using the segmented loop")
 
         run_steps = self._jitted("multi_step", self._make_multi_step)
 
@@ -592,7 +644,8 @@ class PicardRunner:
                         test_hessian=bool(cfg.EVAL.TEST_HESSIAN),
                         batch_size=cfg.EVAL.BATCH_SIZE)
                     em["iter"] = self.i
-                    em["lr"] = self._lr_fn(self.global_step)
+                    em["lr"] = (self._lr_fn(self.global_step)
+                                * metrics.get("lr_scale", 1.0))
                     self.logger.log(em, self.global_step, context="eval")
                 elif freq and cfg.EVAL.REFERENCE_FILE:
                     from deeppicarditeration_tpu.evaluation.evaluator import (

@@ -126,8 +126,10 @@ def lr_schedule_fn(opt_cfg) -> Callable[[int], float]:
 
     Evaluates THE SAME schedule object make_optimizer installs (built by
     _build_schedule — no parallel formula to drift). ReduceLROnPlateau's
-    scale is optimizer-state-dependent; its BASE lr is reported (the
-    plateau multiplier lives in the opt state, not the schedule)."""
+    multiplier lives in the opt STATE, not the schedule: the step body
+    emits it as the ``lr_scale`` train metric and the logging sites
+    multiply it in, so the logged lr reflects actual plateau
+    reductions."""
     kwargs = dict(opt_cfg.get("kwargs", {}) or {})
     lr = float(kwargs.pop("lr", 1e-3))
     sched_cfg = opt_cfg.get("SCHEDULER", {}) or {}
@@ -340,6 +342,12 @@ def make_step_body(module, tx_opt: optax.GradientTransformation,
         updates, opt_state = tx_opt.update(grads, state.opt_state,
                                            state.params, **extra)
         params = optax.apply_updates(state.params, updates)
+        if needs_value == "value":
+            # ReduceLROnPlateau's multiplier lives in the optimizer STATE
+            # (the chain's last element), not in any schedule — surface it
+            # so the logged lr reflects an actual plateau reduction. Rides
+            # the metric outputs of every (fused or not) training path.
+            metrics["lr_scale"] = opt_state[-1].scale
         return (TrainState(params=params, opt_state=opt_state,
                            step=state.step + 1), metrics)
 
