@@ -148,6 +148,18 @@ def bench_torch_cpu(b=128, m=512, nx=100, repeats=2):
     return b * 2 * m / dt, dt
 
 
+# Model FLOPs per SDE sample for this workload: 4.801e12 flops/call at
+# B=4096, M=4096+4096 by XLA cost analysis of the single-chunk XLA-path
+# graph (scripts/mfu_analysis.py — cost_analysis counts scan bodies once,
+# so the count must be taken on an unchunked graph; FLOPs are
+# chunking-invariant). Dominated by the frozen 4x128 MLP fwd+vjp of the
+# integral estimator. The workload is VPU-bound, not MXU-bound (see
+# scripts/probe_vpu_roofline.py + BASELINE.md MFU section), so MXU MFU is
+# structurally low here; it is reported for fleet comparability.
+FLOPS_PER_SAMPLE = 143081.0
+PEAK_BF16_TFLOPS = 197.0  # v5e
+
+
 def main():
     quick = "--quick" in sys.argv
     tpu_sps, tpu_dt = bench_tpu(
@@ -163,6 +175,8 @@ def main():
         "unit": "samples/s",
         "vs_baseline": (round(tpu_sps / torch_sps, 2)
                         if torch_sps == torch_sps else None),
+        "mfu": round(tpu_sps * FLOPS_PER_SAMPLE / (PEAK_BF16_TFLOPS * 1e12),
+                     4),
     }))
 
 
