@@ -216,11 +216,21 @@ def eval_solution_against_file(sol: Solution, path, nx: int,
 
 def monte_carlo_at(key, eq, sol: Solution, gen: est.GenConfig,
                    x: jnp.ndarray, t: Optional[jnp.ndarray] = None):
-    """Fresh Picard MC estimate of u(t, x) from sol (evaluate.py:58-82)."""
+    """Fresh Picard MC estimate of u(t, x) from sol (evaluate.py:58-82).
+
+    Jitted (cached per (gen, shape, solution treedef)): the 10^6-sample
+    protocol runs a chunked scan whose eager op-by-op dispatch through
+    the remote tunnel costs seconds/point; jitted it is one dispatch and
+    serves every iteration's checkpoint (same treedef)."""
     if t is None:
         t = jnp.zeros((x.shape[0], 1), x.dtype)
     tx = jnp.concatenate([t, x], axis=-1)
-    return est.generate_values(key, eq, sol, tx, gen)
+    ck = ("mc_at", gen, tx.shape, jax.tree_util.tree_structure(sol))
+    run = _EVAL_BATCH_CACHE.get(ck)
+    if run is None:
+        run = _EVAL_BATCH_CACHE[ck] = jax.jit(
+            lambda k, e, s, txx: est.generate_values(k, e, s, txx, gen))
+    return run(key, eq, sol, tx)
 
 
 def monte_carlo_at_zero(key, eq, sol: Solution, n_estimate: int = 1_000_000,
