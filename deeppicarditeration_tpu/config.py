@@ -215,6 +215,14 @@ def default_cfg() -> Config:
     # is not a multiple of EVAL.FREQ, or when EVAL.BATCH_SIZE asks for
     # eval chunking the fused graph does not do.
     c.TRAIN.FUSED = "auto"
+    # Upper bound on train steps per device dispatch. The fused paths
+    # split an iteration's epochs into equal chunks below this bound with
+    # identical per-epoch key streams (bitwise-equal trajectories); a
+    # single 800k-step dispatch (hjb_control's 100k epochs in one scan)
+    # was measured to crash the TPU worker mid-execution. 65536 steps
+    # ~= 30 s of device time on the shipped nets; recipes with
+    # steps/iteration below the bound keep their single dispatch.
+    c.TRAIN.DISPATCH_STEPS = 65536
     c.TRAIN.LOSS = Config()
     c.TRAIN.LOSS.beta = 0.0  # exp(beta * t) sample weighting
     c.TRAIN.LOSS.SCALER = Config()

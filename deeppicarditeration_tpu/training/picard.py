@@ -406,11 +406,30 @@ class PicardRunner:
         return jax.jit(run_steps, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
+    def _dispatch_epoch_chunk(self, steps: int, n_epochs: int) -> int:
+        """Epochs per training dispatch: a divisor of n_epochs bounding
+        steps/dispatch by TRAIN.DISPATCH_STEPS (default 65536, ~30 s of
+        device time). One measured 800k-step dispatch (the hjb_control
+        100k-epoch recipe in a single fused scan) crashed the TPU worker
+        mid-execution; chunking epochs across dispatches with the SAME
+        per-epoch key streams keeps trajectories bitwise identical
+        (tested) while every dispatch stays bounded. Shipped recipes
+        (128-512 steps/iteration) keep their single dispatch."""
+        from deeppicarditeration_tpu.ops.estimators import largest_divisor
+
+        target = int(self.cfg.TRAIN.get("DISPATCH_STEPS") or 65536)
+        ep_target = max(1, target // max(steps, 1))
+        if n_epochs <= ep_target:
+            return n_epochs
+        return largest_divisor(n_epochs, ep_target)
+
     def _make_epoch_scan(self, steps: int, bs: int, shuffle: bool):
-        """All epochs in ONE dispatch: scan(epochs) of scan(steps), with
-        on-device permutation per epoch. Used when EVAL.FREQ is None —
-        minimizes host round trips (the per-iteration wall through remote
-        dispatch paths is latency-, not compute-, dominated)."""
+        """All epochs of one chunk in ONE dispatch: scan(epochs) of
+        scan(steps), with on-device permutation per epoch. Used when
+        EVAL.FREQ is None — minimizes host round trips (the per-iteration
+        wall through remote dispatch paths is latency-, not compute-,
+        dominated). The caller slices the per-epoch key arrays per chunk
+        (_dispatch_epoch_chunk), so chunked == unchunked bitwise."""
         step_body = make_step_body(self.module, self.tx_opt, self.spec,
                                    self._opt_needs_value)
 
@@ -442,7 +461,7 @@ class PicardRunner:
         return jax.jit(run_epochs, donate_argnums=(0,))
 
     def _make_fused_freq_scan(self, steps: int, bs: int, seg: int,
-                              shuffle: bool, n_epochs: int, eval_cfg):
+                              shuffle: bool, ep_chunk: int, eval_cfg):
         """All epochs AND the in-training eval in ONE dispatch.
 
         The segmented loop in _train_iteration pays, per EVAL.FREQ
@@ -459,6 +478,11 @@ class PicardRunner:
 
         ``eval_cfg``: None (no in-training eval; train metrics only) or
         (n_points, test_grad, test_hessian). Returns (jitted_run, names).
+
+        ``ep_chunk`` epochs run per dispatch (_dispatch_epoch_chunk); the
+        caller passes the chunk's slice of the canonical key arrays plus
+        the global epoch offset ``e0`` (the eval-key stream folds in the
+        GLOBAL epoch index, so chunked == unchunked bitwise).
         """
         step_body = make_step_body(self.module, self.tx_opt, self.spec,
                                    self._opt_needs_value)
@@ -472,12 +496,9 @@ class PicardRunner:
             names, eval_fn = make_traced_eval(*eval_cfg)
         module, net_type, nx = self.module, self.net_type, self.equation.nx
 
-        def run(state: TrainState, ds_tx, ds_y, key, eq):
+        def run(state: TrainState, ds_tx, ds_y, key, eq, e0, shuffle_keys,
+                step_keys):
             n = ds_tx.shape[0]
-            # canonical derivation — this path reproduces the
-            # EVAL.FREQ=None trajectories exactly; the eval keys ride a
-            # separate per-epoch stream (they never touch training)
-            shuffle_keys, step_keys = _train_keys(key, n_epochs)
 
             def epoch_body(st, ek_in):
                 epoch, k_shuf, k_steps = ek_in
@@ -509,7 +530,7 @@ class PicardRunner:
                                     (txs, ys, keys, jnp.arange(nseg)))
 
             return jax.lax.scan(epoch_body, state,
-                                (jnp.arange(n_epochs), shuffle_keys,
+                                (e0 + jnp.arange(ep_chunk), shuffle_keys,
                                  step_keys))
 
         return jax.jit(run, donate_argnums=(0,)), names
@@ -519,16 +540,29 @@ class PicardRunner:
                         eval_cfg) -> TrainState:
         shuffle = self.cfg.DATA.SHUFFLE is not False
         nseg = steps // seg
+        ep_chunk = self._dispatch_epoch_chunk(steps, n_epochs)
         run, names = self._jitted(
-            ("fused_freq", steps, bs, seg, shuffle, n_epochs, eval_cfg),
+            ("fused_freq", steps, bs, seg, shuffle, ep_chunk, eval_cfg),
             lambda: self._make_fused_freq_scan(steps, bs, seg, shuffle,
-                                               n_epochs, eval_cfg))
+                                               ep_chunk, eval_cfg))
+        shuffle_keys, step_keys = _train_keys(key, n_epochs)
+        chunks = []
         with step_timer("train[fused+eval]") as tm:
-            state, (train_ms, eval_vals) = run(state, ds.tx, ds.y, key,
-                                               self.equation)
-            tm.set(train_ms)
-        # ONE readback for the whole iteration's train + eval metrics
-        train_ms, eval_vals = jax.device_get((train_ms, eval_vals))
+            for e0 in range(0, n_epochs, ep_chunk):
+                state, ms = run(state, ds.tx, ds.y, key, self.equation,
+                                jnp.asarray(e0),
+                                shuffle_keys[e0:e0 + ep_chunk],
+                                step_keys[e0:e0 + ep_chunk])
+                chunks.append(ms)
+            tm.set(chunks[-1][0])
+        # ONE readback per chunk's train + eval metrics (one total in the
+        # shipped recipes' single-chunk case)
+        chunks = jax.device_get(chunks)
+        import numpy as _np
+
+        train_ms = {k: _np.concatenate([c[0][k] for c in chunks])
+                    for k in chunks[0][0]}
+        eval_vals = _np.concatenate([c[1] for c in chunks])
         start = self.global_step
         for e in range(n_epochs):
             for j in range(nseg):
@@ -557,15 +591,19 @@ class PicardRunner:
         shuffle = cfg.DATA.SHUFFLE is not False
 
         if freq is None:
-            # fused path: one dispatch for the whole iteration's training
+            # fused path: one dispatch per epoch chunk (usually one total)
             steps = ds.size // bs
             run_epochs = self._jitted(("epoch_scan", steps, bs, shuffle),
                                       lambda: self._make_epoch_scan(
                                           steps, bs, shuffle))
             shuffle_keys, step_keys = _train_keys(key, n_epochs)
+            ep_chunk = self._dispatch_epoch_chunk(steps, n_epochs)
             with step_timer("train[fused]") as tm:
-                state, metrics = run_epochs(state, ds.tx, ds.y,
-                                            shuffle_keys, step_keys)
+                for e0 in range(0, n_epochs, ep_chunk):
+                    state, metrics = run_epochs(
+                        state, ds.tx, ds.y,
+                        shuffle_keys[e0:e0 + ep_chunk],
+                        step_keys[e0:e0 + ep_chunk])
                 tm.set(metrics)
             self.global_step += n_epochs * steps
             metrics = _fetch_metrics(metrics)

@@ -152,6 +152,26 @@ def test_large_data_size_generates_in_bounded_dispatches(tmp_path, capsys):
     assert runner2.u_current.kind == "net"
 
 
+@pytest.mark.parametrize("freq", [None, 2])
+def test_epoch_chunking_bitwise(tmp_path, freq):
+    """TRAIN.DISPATCH_STEPS chunking (one dispatch per epoch chunk) must
+    reproduce the single-dispatch trajectory bitwise on both fused paths
+    (the EVAL.FREQ=None epoch scan and the fused freq scan)."""
+    params = {}
+    for tag, dsteps in (("one", 65536), ("chunked", 8)):
+        cfg = _cfg()
+        cfg.NAME = f"chunk_{freq}_{tag}"
+        cfg.TRAIN.N_EPOCHS = 4
+        cfg.EVAL.FREQ = freq
+        # steps = 256/64 = 4 per epoch; bound 8 => 2 epochs per dispatch
+        cfg.TRAIN.DISPATCH_STEPS = dsteps
+        runner = PicardRunner(cfg, exp_root=tmp_path)
+        runner.run_one()
+        params[tag] = jax.tree_util.tree_leaves(runner.u_current.params)
+    for a, b in zip(params["one"], params["chunked"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 # ---------------------------------------------------------------------------
 # plateau LR surfacing
 # ---------------------------------------------------------------------------
