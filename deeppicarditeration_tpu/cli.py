@@ -28,6 +28,9 @@ def main(argv=None):
                         help="h5/npz/npy (tx, u) file for l2_file sweeps")
     p_eval.add_argument("--n-points", type=int, default=1000)
     p_eval.add_argument("--n-estimate", type=int, default=1_000_000)
+    p_eval.add_argument("--out", default=None,
+                        help="append the per-iteration records as JSON "
+                             "lines to this file")
 
     args = parser.parse_args(argv)
 
@@ -68,11 +71,19 @@ def main(argv=None):
                                  n_estimate_integral=args.n_estimate)
         if args.do_l2:
             if args.sol_file is not None:
-                ev.l2_file(args.sol_file)
+                recs = ev.l2_file(args.sol_file)
             else:
-                ev.l2(args.n_points)
+                recs = ev.l2(args.n_points)
         else:
-            ev.monte_carlo_at_zero()
+            recs = ev.monte_carlo_at_zero()
+        if args.out:
+            import json
+
+            out = pathlib.Path(args.out)
+            out.parent.mkdir(parents=True, exist_ok=True)
+            with open(out, "a") as f:
+                for r in recs:
+                    f.write(json.dumps(r) + "\n")
     return 0
 
 

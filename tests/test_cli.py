@@ -47,10 +47,29 @@ EVAL:
     assert (exp / "config.yaml").exists()
     assert (exp / "model_2").exists()
 
-    out = _run_cli(["evaluate", str(exp), "--n-estimate", "256"],
+    out = _run_cli(["evaluate", str(exp), "--n-estimate", "256",
+                    "--out", str(tmp_path / "mc.jsonl")],
                    cwd=tmp_path)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Picard Estimate" in out.stdout
+    recs = [json.loads(l)
+            for l in (tmp_path / "mc.jsonl").read_text().splitlines()]
+    assert [r["iter"] for r in recs] == [0, 1, 2]
+    assert all("u_mc_at_zero" in r for r in recs)
+
+    # the recorded-protocol harness must stay runnable (round-3 artifact)
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    out = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "run_mc_eval.py"),
+         str(exp), "--out", str(tmp_path / "mc2.jsonl"),
+         "--n-estimate", "64", "--se-rows", "4", "--iters", "2"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads((tmp_path / "mc2.jsonl").read_text().splitlines()[-1])
+    assert {"u_mc_at_zero", "mc_se_at_zero", "u_mc_at_xlaw"} <= set(rec)
 
     out = _run_cli(["evaluate", str(exp), "--do-l2", "--n-points", "64"],
                    cwd=tmp_path)
