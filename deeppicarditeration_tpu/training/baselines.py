@@ -518,38 +518,44 @@ def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
     state_path, meta_path = _baseline_state_paths(runner)
     start, wall_base = 0, 0.0
     if cfg.RESUME and meta_path.exists():
+        # stage 1: the meta sidecar — read ALL resume inputs before
+        # touching params/opt_state so a failure can never leave a
+        # half-restored mixture (restored weights + epoch-0 keys is
+        # neither a resume nor a fresh run)
+        meta_ok = False
         try:
             meta = json.loads(meta_path.read_text())
-            state = ckpt.load_params(state_path, {"params": params,
-                                                  "opt": opt_state})
-            params = jax.device_put(state["params"], runner.repl)
-            opt_state = jax.device_put(state["opt"], runner.repl)
-            start = int(meta["epoch"])
-            wall_base = float(meta.get("wall_time", 0.0))
-            print(f"RESUME: {tag} baseline from epoch {start} "
-                  f"({runner.exp_dir})")
-        except FileNotFoundError as e:
-            # missing or uncommitted (torn, *-tmp) periodic save from a
-            # hard kill: starting fresh is the correct recovery
-            print(f"RESUME: periodic {tag} state missing/uncommitted "
-                  f"({e!r}); starting fresh")
-            start, wall_base = 0, 0.0
+            start_new = int(meta["epoch"])
+            wall_new = float(meta.get("wall_time", 0.0))
+            meta_ok = True
         except Exception as e:
-            # distinguish a torn write (start fresh) from a pytree that no
-            # longer matches the current model/optimizer (a code or config
-            # change since the save) — silently restarting from epoch 0
-            # would mask the latter as "starting fresh"
-            msg = str(e).lower()
-            if ("structur" in msg or "match" in msg or "treedef" in msg
-                    or "metadata tree" in msg):
-                raise RuntimeError(
-                    f"RESUME: periodic {tag} state at {state_path} does "
-                    "not match the current model/optimizer structure "
-                    "(code or config changed since it was written); "
-                    "delete it to start fresh") from e
-            print(f"RESUME: periodic {tag} state unusable ({e!r}); "
+            print(f"RESUME: periodic {tag} meta unusable ({e!r}); "
                   "starting fresh")
-            start, wall_base = 0, 0.0
+        # stage 2: the state itself — distinguish a torn/missing write
+        # (start fresh) from a READABLE state that no longer matches the
+        # current model/optimizer (code or config change since the save):
+        # silently restarting from epoch 0 would mask the latter. The
+        # probe restores without a template, so the verdict does not
+        # depend on orbax error-message wording.
+        if meta_ok:
+            try:
+                state = ckpt.load_params(state_path, {"params": params,
+                                                      "opt": opt_state})
+                params = jax.device_put(state["params"], runner.repl)
+                opt_state = jax.device_put(state["opt"], runner.repl)
+                start, wall_base = start_new, wall_new
+                print(f"RESUME: {tag} baseline from epoch {start} "
+                      f"({runner.exp_dir})")
+            except Exception as e:
+                if ckpt.is_readable(state_path):
+                    raise RuntimeError(
+                        f"RESUME: periodic {tag} state at {state_path} "
+                        "does not match the current model/optimizer "
+                        "structure (code or config changed since it was "
+                        "written); delete it to start fresh") from e
+                print(f"RESUME: periodic {tag} state unusable ({e!r}); "
+                      "starting fresh")
+                start, wall_base = 0, 0.0
 
     # oracle eval traced into the chunk jit (same fusion as the Picard
     # path's TRAIN.FUSED): the separate eval_solution dispatch + readback

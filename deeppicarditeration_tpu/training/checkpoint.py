@@ -64,3 +64,20 @@ def load_params(path: pathlib.Path, like_params):
                                       like_params)
     return ckptr.restore(pathlib.Path(path).absolute(),
                          args=ocp.args.StandardRestore(abstract))
+
+
+def is_readable(path: pathlib.Path) -> bool:
+    """True iff a committed checkpoint can be restored AT ALL (no
+    structure template — restores whatever is on disk). Lets recovery
+    code distinguish a torn/missing save (unreadable -> start fresh)
+    from a readable state that no longer matches the current model
+    (structural mismatch -> surface the error) without parsing
+    orbax's error strings."""
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()
+    try:
+        ckptr.restore(pathlib.Path(path).absolute(),
+                      args=ocp.args.StandardRestore())
+        return True
+    except Exception:
+        return False

@@ -315,11 +315,19 @@ class PicardRunner:
         if not cfg.DATA.ONLINE:
             return load_dataset(cfg.DATA.TRAIN_FILE)
         n_total = int(cfg.DATA.DATA_SIZE)
+        ndev = int(self.mesh.devices.size)
         gen_batch = cfg.DATA.get("GEN_BATCH")
-        gen_batch = (int(gen_batch) if gen_batch
-                     else default_gen_batch(n_total, gen.chunk_elems,
-                                            self.equation.nx,
-                                            int(self.mesh.devices.size)))
+        if gen_batch:
+            gen_batch = int(gen_batch)
+            if ndev > 1 and gen_batch % ndev:
+                # fail at config time with the key's name, not deep inside
+                # pjit with an opaque output-sharding error
+                raise ValueError(
+                    f"DATA.GEN_BATCH ({gen_batch}) must be divisible by "
+                    f"the mesh data-axis size ({ndev})")
+        else:
+            gen_batch = default_gen_batch(n_total, gen.chunk_elems,
+                                          self.equation.nx, ndev)
         prov = self._provenance(gen, mode, n_total, gen_batch)
         if cfg.RESUME and cfg.DATA.SAVE:
             # mid-iteration resume: a run killed AFTER generating iteration
@@ -407,21 +415,28 @@ class PicardRunner:
 
     # ------------------------------------------------------------------
     def _dispatch_epoch_chunk(self, steps: int, n_epochs: int) -> int:
-        """Epochs per training dispatch: a divisor of n_epochs bounding
-        steps/dispatch by TRAIN.DISPATCH_STEPS (default 65536, ~30 s of
-        device time). One measured 800k-step dispatch (the hjb_control
-        100k-epoch recipe in a single fused scan) crashed the TPU worker
-        mid-execution; chunking epochs across dispatches with the SAME
-        per-epoch key streams keeps trajectories bitwise identical
-        (tested) while every dispatch stays bounded. Shipped recipes
-        (128-512 steps/iteration) keep their single dispatch."""
-        from deeppicarditeration_tpu.ops.estimators import largest_divisor
+        """Epochs per training dispatch, bounding steps/dispatch by
+        TRAIN.DISPATCH_STEPS (default 65536, ~30 s of device time). One
+        measured 800k-step dispatch (the hjb_control 100k-epoch recipe in
+        a single fused scan) crashed the TPU worker mid-execution;
+        chunking epochs across dispatches with the SAME per-epoch key
+        streams keeps trajectories bitwise identical (tested) while every
+        dispatch stays bounded. A non-divisor count simply gets a smaller
+        (ragged) final chunk — one extra jit signature, not a dispatch
+        per epoch. Shipped recipes (128-512 steps/iteration) keep their
+        single dispatch.
 
+        Limitation: the chunk granularity is one epoch — a SINGLE epoch
+        above the bound (steps = DATA_SIZE/BATCH_SIZE > DISPATCH_STEPS)
+        cannot be split and is dispatched whole, with a warning."""
         target = int(self.cfg.TRAIN.get("DISPATCH_STEPS") or 65536)
+        if steps > target:
+            print(f"warning: one epoch is {steps} steps > "
+                  f"TRAIN.DISPATCH_STEPS ({target}); dispatches cannot be "
+                  "chunked below one epoch — raise BATCH_SIZE or lower "
+                  "DATA_SIZE if the device rejects long dispatches")
         ep_target = max(1, target // max(steps, 1))
-        if n_epochs <= ep_target:
-            return n_epochs
-        return largest_divisor(n_epochs, ep_target)
+        return min(n_epochs, ep_target) if n_epochs else 0
 
     def _make_epoch_scan(self, steps: int, bs: int, shuffle: bool):
         """All epochs of one chunk in ONE dispatch: scan(epochs) of
@@ -541,18 +556,20 @@ class PicardRunner:
         shuffle = self.cfg.DATA.SHUFFLE is not False
         nseg = steps // seg
         ep_chunk = self._dispatch_epoch_chunk(steps, n_epochs)
-        run, names = self._jitted(
-            ("fused_freq", steps, bs, seg, shuffle, ep_chunk, eval_cfg),
-            lambda: self._make_fused_freq_scan(steps, bs, seg, shuffle,
-                                               ep_chunk, eval_cfg))
         shuffle_keys, step_keys = _train_keys(key, n_epochs)
         chunks = []
+        names = None
         with step_timer("train[fused+eval]") as tm:
             for e0 in range(0, n_epochs, ep_chunk):
+                n_e = min(ep_chunk, n_epochs - e0)  # ragged final chunk
+                run, names = self._jitted(
+                    ("fused_freq", steps, bs, seg, shuffle, n_e, eval_cfg),
+                    lambda: self._make_fused_freq_scan(
+                        steps, bs, seg, shuffle, n_e, eval_cfg))
                 state, ms = run(state, ds.tx, ds.y, key, self.equation,
                                 jnp.asarray(e0),
-                                shuffle_keys[e0:e0 + ep_chunk],
-                                step_keys[e0:e0 + ep_chunk])
+                                shuffle_keys[e0:e0 + n_e],
+                                step_keys[e0:e0 + n_e])
                 chunks.append(ms)
             tm.set(chunks[-1][0])
         # ONE readback per chunk's train + eval metrics (one total in the
@@ -587,6 +604,8 @@ class PicardRunner:
         cfg = self.cfg
         bs = int(cfg.TRAIN.BATCH_SIZE)
         n_epochs = int(cfg.TRAIN.N_EPOCHS)
+        if n_epochs <= 0:
+            return state  # generation-only config: nothing to fit
         freq = cfg.EVAL.FREQ
         shuffle = cfg.DATA.SHUFFLE is not False
 

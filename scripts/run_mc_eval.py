@@ -72,14 +72,12 @@ def main():
     gen_se = est.GenConfig(n_estimate_terminal=max(1, n // r),
                            n_estimate_integral=max(1, n // r)) if r else None
 
-    jits = {}
+    from deeppicarditeration_tpu.evaluation.evaluator import monte_carlo_at
 
     def run_mc(g, key, sol, tx):
-        ck = (g, tx.shape, jax.tree_util.tree_structure(sol))
-        if ck not in jits:
-            jits[ck] = jax.jit(
-                lambda k, e, s, t: est.generate_values(k, e, s, t, g))
-        return jits[ck](key, eq, sol, tx)
+        # monte_carlo_at is jitted + cached per (gen, shape, treedef): one
+        # dispatch per call, one compile per solution class
+        return monte_carlo_at(key, eq, sol, g, tx[:, 1:], t=tx[:, :1])
 
     iters = (args.iters if args.iters is not None
              else range(int(ev.cfg.PICARD.N) + 1))

@@ -152,24 +152,76 @@ def test_large_data_size_generates_in_bounded_dispatches(tmp_path, capsys):
     assert runner2.u_current.kind == "net"
 
 
-@pytest.mark.parametrize("freq", [None, 2])
-def test_epoch_chunking_bitwise(tmp_path, freq):
+@pytest.mark.parametrize("freq,n_epochs", [(None, 4), (2, 4), (2, 5)])
+def test_epoch_chunking_bitwise(tmp_path, freq, n_epochs):
     """TRAIN.DISPATCH_STEPS chunking (one dispatch per epoch chunk) must
     reproduce the single-dispatch trajectory bitwise on both fused paths
-    (the EVAL.FREQ=None epoch scan and the fused freq scan)."""
+    (the EVAL.FREQ=None epoch scan and the fused freq scan), including a
+    non-divisor epoch count (ragged final chunk)."""
     params = {}
     for tag, dsteps in (("one", 65536), ("chunked", 8)):
         cfg = _cfg()
-        cfg.NAME = f"chunk_{freq}_{tag}"
-        cfg.TRAIN.N_EPOCHS = 4
+        cfg.NAME = f"chunk_{freq}_{n_epochs}_{tag}"
+        cfg.TRAIN.N_EPOCHS = n_epochs
         cfg.EVAL.FREQ = freq
         # steps = 256/64 = 4 per epoch; bound 8 => 2 epochs per dispatch
+        # (n_epochs=5 => chunks of 2, 2, 1)
         cfg.TRAIN.DISPATCH_STEPS = dsteps
         runner = PicardRunner(cfg, exp_root=tmp_path)
         runner.run_one()
         params[tag] = jax.tree_util.tree_leaves(runner.u_current.params)
     for a, b in zip(params["one"], params["chunked"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_zero_epochs_is_a_noop_fit(tmp_path):
+    """TRAIN.N_EPOCHS: 0 (generation-only config) must run, not crash."""
+    cfg = _cfg()
+    cfg.TRAIN.N_EPOCHS = 0
+    cfg.DATA.SAVE = True
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    runner.run_one()
+    assert (runner.exp_dir / "data_iter_1.npz").exists()
+
+
+def test_explicit_gen_batch_mesh_divisibility(tmp_path):
+    cfg = _cfg()
+    cfg.DATA.GEN_BATCH = 100  # 8-device test mesh: 100 % 8 != 0
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    if runner.mesh.devices.size > 1:
+        with pytest.raises(ValueError, match="DATA.GEN_BATCH"):
+            runner.run_one()
+
+
+def test_baseline_resume_bad_meta_starts_fresh(tmp_path, capsys):
+    """A meta sidecar without 'epoch' must start fresh WITHOUT leaving a
+    half-restored state (params untouched by the failed resume)."""
+    import shutil
+
+    from deeppicarditeration_tpu.training import checkpoint as ckpt
+
+    cfg = _cfg()
+    cfg.METHOD.cls = "PINN"
+    cfg.METHOD.num_v_samples = 2
+    cfg.TRAIN.N_EPOCHS = 4
+    cfg.EVAL.FREQ = 2
+    runner = PicardRunner(cfg, exp_root=tmp_path)
+    runner.run_one()
+    ckpt.wait_all()
+    shutil.rmtree(ckpt.ckpt_path(runner.exp_dir, 1))
+    (runner.exp_dir / "baseline_1_meta.json").write_text(
+        json.dumps({"wall_time": 1.0}))  # no "epoch"
+    cfg2 = _cfg()
+    cfg2.METHOD.cls = "PINN"
+    cfg2.METHOD.num_v_samples = 2
+    cfg2.TRAIN.N_EPOCHS = 4
+    cfg2.EVAL.FREQ = 2
+    cfg2.FORCE = False
+    cfg2.RESUME = True
+    runner2 = PicardRunner(cfg2, exp_root=tmp_path)
+    capsys.readouterr()
+    runner2.run_one()
+    assert "meta unusable" in capsys.readouterr().out
 
 
 # ---------------------------------------------------------------------------
