@@ -538,14 +538,14 @@ def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
         # probe restores without a template, so the verdict does not
         # depend on orbax error-message wording.
         if meta_ok:
+            state = None
             try:
+                # try narrowed to the restore itself: a failure AFTER it
+                # (device_put OOM, transient RPC) must not be classified
+                # as a structural mismatch telling the user to delete a
+                # good checkpoint
                 state = ckpt.load_params(state_path, {"params": params,
                                                       "opt": opt_state})
-                params = jax.device_put(state["params"], runner.repl)
-                opt_state = jax.device_put(state["opt"], runner.repl)
-                start, wall_base = start_new, wall_new
-                print(f"RESUME: {tag} baseline from epoch {start} "
-                      f"({runner.exp_dir})")
             except Exception as e:
                 if ckpt.is_readable(state_path):
                     raise RuntimeError(
@@ -556,6 +556,12 @@ def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
                 print(f"RESUME: periodic {tag} state unusable ({e!r}); "
                       "starting fresh")
                 start, wall_base = 0, 0.0
+            if state is not None:
+                params = jax.device_put(state["params"], runner.repl)
+                opt_state = jax.device_put(state["opt"], runner.repl)
+                start, wall_base = start_new, wall_new
+                print(f"RESUME: {tag} baseline from epoch {start} "
+                      f"({runner.exp_dir})")
 
     # oracle eval traced into the chunk jit (same fusion as the Picard
     # path's TRAIN.FUSED): the separate eval_solution dispatch + readback

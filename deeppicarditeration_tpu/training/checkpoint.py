@@ -67,17 +67,17 @@ def load_params(path: pathlib.Path, like_params):
 
 
 def is_readable(path: pathlib.Path) -> bool:
-    """True iff a committed checkpoint can be restored AT ALL (no
-    structure template — restores whatever is on disk). Lets recovery
-    code distinguish a torn/missing save (unreadable -> start fresh)
-    from a readable state that no longer matches the current model
-    (structural mismatch -> surface the error) without parsing
-    orbax's error strings."""
+    """True iff a COMMITTED checkpoint with parseable tree metadata
+    exists at ``path``. Lets recovery code distinguish a torn/missing
+    save (orbax commits atomically, so torn == uncommitted tmp dir ==
+    unreadable -> start fresh) from a committed state that no longer
+    restores into the current model template (structural mismatch ->
+    surface the error) without parsing orbax's error strings. Metadata-
+    only: no O(checkpoint-size) I/O on the error path."""
     ckptr = _checkpointer()
     ckptr.wait_until_finished()
     try:
-        ckptr.restore(pathlib.Path(path).absolute(),
-                      args=ocp.args.StandardRestore())
-        return True
+        meta = ckptr.metadata(pathlib.Path(path).absolute())
+        return getattr(meta, "item_metadata", None) is not None
     except Exception:
         return False

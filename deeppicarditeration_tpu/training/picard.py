@@ -430,7 +430,8 @@ class PicardRunner:
         above the bound (steps = DATA_SIZE/BATCH_SIZE > DISPATCH_STEPS)
         cannot be split and is dispatched whole, with a warning."""
         target = int(self.cfg.TRAIN.get("DISPATCH_STEPS") or 65536)
-        if steps > target:
+        if steps > target and not getattr(self, "_warned_dispatch", False):
+            self._warned_dispatch = True  # once per run, not per iteration
             print(f"warning: one epoch is {steps} steps > "
                   f"TRAIN.DISPATCH_STEPS ({target}); dispatches cannot be "
                   "chunked below one epoch — raise BATCH_SIZE or lower "
