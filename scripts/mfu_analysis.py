@@ -152,21 +152,107 @@ def analyze(name, repeats=8):
     return rec
 
 
+def analyze_train_step(name, repeats=3):
+    """FLOPs + achieved TFLOP/s of ONE optimizer step at the family's
+    shipped batch size (the fused paths scan this same step body)."""
+    from deeppicarditeration_tpu.config import load_cfg
+    from deeppicarditeration_tpu.equations import make_equation
+    from deeppicarditeration_tpu.models.factory import (
+        build_network,
+        init_solution,
+    )
+    from deeppicarditeration_tpu.training.trainer import (
+        TrainSpec,
+        TrainState,
+        make_optimizer,
+        make_step_body,
+    )
+
+    cfgs = {
+        "burgers": "configs/burgers/base_100d_T1.0_w1.0.yaml",
+        "hjb": "configs/hjb/base_100d_T1.0_w0.1.yaml",
+        "fn": "configs/fully_nonlinear/base_100d_T1.0_w0.0_nov.yaml",
+    }
+    cfg = load_cfg(ROOT / cfgs[name])
+    eq = make_equation(cfg.EQUATION.cls, run_seed=int(cfg.SEED),
+                       **(cfg.EQUATION.kwargs or {}))
+    module = build_network(cfg, eq)
+    sol = init_solution(jax.random.PRNGKey(0), cfg, eq, module=module)
+    spec = TrainSpec.from_cfg(cfg, eq.nx)
+    tx_opt, needs_value = make_optimizer(cfg.TRAIN.OPTIMIZER)
+    body = make_step_body(module, tx_opt, spec, needs_value)
+    bs = int(cfg.TRAIN.BATCH_SIZE)
+    ydim = 1 + (eq.nx if (cfg.TRAIN.SUPERVISE_GRADIENT
+                          or eq.has_gradient_term) else 0)
+    tx_b = jnp.ones((bs, 1 + eq.nx)) * 0.3
+    y_b = jnp.ones((bs, ydim)) * 0.1
+    state = TrainState.create(sol.params, tx_opt)
+
+    @jax.jit
+    def step(st, txx, yy, key, salt):
+        st2, ms = body(st, txx, yy, key)
+        return st2, ms["train_loss"] * 1e-9 + salt
+
+    args = (state, tx_b, y_b, jax.random.PRNGKey(1), jnp.zeros(()))
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            ca = step.lower(*args).compile().cost_analysis() or {}
+    except Exception:
+        ca = {}
+    flops = float(ca.get("flops", float("nan")))
+
+    # timing: N steps scanned inside ONE jit — the real fused paths run
+    # this exact structure; per-dispatch loops through the remote tunnel
+    # would measure issue rate, not device time
+    n = 64
+
+    @jax.jit
+    def steps_scan(st, txx, yy, salt):
+        def b(c, i):
+            c2, ms = body(c, txx, yy,
+                          jax.random.fold_in(jax.random.PRNGKey(0), i))
+            return c2, ms["train_loss"]
+        st, losses = jax.lax.scan(b, st, jnp.arange(n))
+        return st, jnp.sum(losses) * 1e-9 + salt
+
+    import time as _t
+
+    st, salt = steps_scan(state, tx_b, y_b, jnp.zeros(()))
+    float(salt)
+    t0 = _t.perf_counter()
+    for r in range(repeats):
+        st, salt = steps_scan(st, tx_b, y_b, salt)
+    float(salt)
+    dt = (_t.perf_counter() - t0) / (repeats * n)
+    return {"family": name, "what": "train_step", "batch": bs,
+            "flops_per_step": flops,
+            "s_per_step": round(dt, 6),
+            "tflops": round(flops / dt / 1e12, 2),
+            "mfu_vs_bf16_peak": round(flops / dt / 1e12
+                                      / PEAK_BF16_TFLOPS, 4)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", nargs="*",
                     default=["burgers", "hjb", "fn"])
     ap.add_argument("--repeats", type=int, default=8)
+    ap.add_argument("--train", action="store_true",
+                    help="also account one optimizer step per family")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out_f = open(ROOT / args.out, "a") if args.out else None
     for fam in args.families:
-        rec = analyze(fam, repeats=args.repeats)
-        line = json.dumps(rec)
-        print(line, flush=True)
-        if out_f:
-            out_f.write(line + "\n")
-            out_f.flush()
+        recs = [analyze(fam, repeats=args.repeats)]
+        if args.train:
+            recs.append(analyze_train_step(fam))
+        for rec in recs:
+            line = json.dumps(rec)
+            print(line, flush=True)
+            if out_f:
+                out_f.write(line + "\n")
+                out_f.flush()
 
 
 if __name__ == "__main__":
