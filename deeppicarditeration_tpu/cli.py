@@ -71,19 +71,26 @@ def main(argv=None):
                                  n_estimate_integral=args.n_estimate)
         if args.do_l2:
             if args.sol_file is not None:
-                recs = ev.l2_file(args.sol_file)
+                recs, kind = ev.l2_file(args.sol_file), "l2_file"
             else:
-                recs = ev.l2(args.n_points)
+                recs, kind = ev.l2(args.n_points), "l2"
         else:
-            recs = ev.monte_carlo_at_zero()
+            recs, kind = ev.monte_carlo_at_zero(), "mc_at_zero"
         if args.out:
             import json
+            import time
 
             out = pathlib.Path(args.out)
             out.parent.mkdir(parents=True, exist_ok=True)
+            # --out appends, so each record carries a run delimiter
+            # (invocation timestamp + experiment + protocol) letting
+            # downstream consumers separate reruns of the same command
+            run_id = {"run_ts": round(time.time(), 3),
+                      "exp": pathlib.Path(args.exp_dir).name,
+                      "protocol": kind}
             with open(out, "a") as f:
                 for r in recs:
-                    f.write(json.dumps(r) + "\n")
+                    f.write(json.dumps({**run_id, **r}) + "\n")
     return 0
 
 

@@ -148,23 +148,39 @@ def save_dataset(path: pathlib.Path, ds: DeviceDataset,
     ``provenance`` (a JSON-serializable dict — seed, iteration, estimator
     fingerprint) is stamped into the file so the RESUME replay path can
     refuse a stale file from an earlier FORCE run with different settings
-    (load_provenance)."""
+    (load_provenance).
+
+    Multi-process: COLLECTIVE — every process must call it. The
+    data-sharded global arrays are allgathered to every host (np.asarray
+    on a non-fully-addressable array raises), then the primary alone
+    writes the file; the trailing barrier keeps a non-primary from
+    outliving the run before the write committed (a later RESUME replay
+    reads this file)."""
     import json
 
-    path.parent.mkdir(parents=True, exist_ok=True)
-    prov = json.dumps(provenance) if provenance is not None else None
-    if path.suffix in (".h5", ".hdf5"):
-        import h5py
+    from deeppicarditeration_tpu.parallel.distributed import (
+        barrier,
+        gather_to_host,
+        is_primary,
+    )
 
-        with h5py.File(path, "w") as f:
-            f.create_dataset("tx", data=np.asarray(ds.tx))
-            f.create_dataset("y", data=np.asarray(ds.y))
-            if prov is not None:
-                f.attrs["provenance"] = prov
-        return
-    extra = {"provenance": np.asarray(prov)} if prov is not None else {}
-    np.savez_compressed(path, tx=np.asarray(ds.tx), y=np.asarray(ds.y),
-                        **extra)
+    tx_h, y_h = gather_to_host(ds.tx), gather_to_host(ds.y)
+    if is_primary():
+        path.parent.mkdir(parents=True, exist_ok=True)
+        prov = json.dumps(provenance) if provenance is not None else None
+        if path.suffix in (".h5", ".hdf5"):
+            import h5py
+
+            with h5py.File(path, "w") as f:
+                f.create_dataset("tx", data=tx_h)
+                f.create_dataset("y", data=y_h)
+                if prov is not None:
+                    f.attrs["provenance"] = prov
+        else:
+            extra = ({"provenance": np.asarray(prov)}
+                     if prov is not None else {})
+            np.savez_compressed(path, tx=tx_h, y=y_h, **extra)
+    barrier("save_dataset")
 
 
 def load_provenance(path) -> Optional[dict]:

@@ -307,9 +307,30 @@ def monte_carlo_at_sharded(key, eq, sol: Solution, gen: est.GenConfig,
     return run(key, eq, sol, tx)
 
 
-def l2_at_t(key, sol: Solution, eq, t: jnp.ndarray) -> Dict[str, float]:
-    """RMSE of the value head vs exact at given t points (evaluate.py:108)."""
+def value_batched(sol: Solution, tx: jnp.ndarray,
+                  batch_size: Optional[int] = None) -> jnp.ndarray:
+    """sol.value over ``tx`` in EVAL.BATCH_SIZE-bounded chunks.
+
+    The post-hoc evaluators take whole solution files (``--sol-file``)
+    whose row count the user controls; an unbatched net forward would
+    materialize O(rows x width) activations at once. ``None`` = one
+    chunk (bitwise-identical to the direct call)."""
+    n = tx.shape[0]
+    bs = int(batch_size) if batch_size else n
+    if bs >= n:
+        return sol.value(tx)
+    return jnp.concatenate([sol.value(tx[i:i + bs])
+                            for i in range(0, n, bs)])
+
+
+def l2_at_t(key, sol: Solution, eq, t: jnp.ndarray,
+            batch_size: Optional[int] = None) -> Dict[str, float]:
+    """RMSE of the value head vs exact at given t points (evaluate.py:108).
+
+    ``batch_size`` bounds the net-forward chunk (EVAL.BATCH_SIZE); the
+    point draw itself is O(n x nx) and stays whole so batched and
+    unbatched sweeps evaluate identical points."""
     x = eq.sample_x(key, t)
     tx = jnp.concatenate([t, x], axis=-1)
-    err = sol.value(tx) - eq.exact_solution(t, x)
+    err = value_batched(sol, tx, batch_size) - eq.exact_solution(t, x)
     return {"l2_error": float(jnp.sqrt(jnp.mean(err ** 2)))}

@@ -25,6 +25,7 @@ from deeppicarditeration_tpu.models.solution import Solution, output_dim_for
 from deeppicarditeration_tpu.evaluation.evaluator import (
     l2_at_t,
     monte_carlo_at_zero,
+    value_batched,
 )
 from deeppicarditeration_tpu.ops.samplers import sample_t_picard
 from deeppicarditeration_tpu.training import checkpoint as ckpt
@@ -42,6 +43,10 @@ class ExperimentEvaluator:
         self.module = build_network(self.cfg, self.equation)
         self.n_terminal = n_estimate_terminal
         self.n_integral = n_estimate_integral
+        # EVAL.BATCH_SIZE bounds every post-hoc net forward so a large
+        # --sol-file cannot OOM (the in-training evaluator already honors
+        # it; utils.py:141-183 parity)
+        self.eval_bs = self.cfg.EVAL.BATCH_SIZE
         self._cache: Dict[int, Solution] = {}
 
     def get_solution(self, i: int) -> Solution:
@@ -98,14 +103,16 @@ class ExperimentEvaluator:
                                      eq.T, max(N - i + 1, 1))
             rec = {"iter": i}
             rec["l2_td"] = l2_at_t(jax.random.fold_in(kt, 1), sol, eq,
-                                   t_rand)["l2_error"]
+                                   t_rand,
+                                   batch_size=self.eval_bs)["l2_error"]
             t0 = jnp.zeros((n_points, 1))
             rec["l2_t0"] = l2_at_t(jax.random.fold_in(kt, 2), sol, eq,
-                                   t0)["l2_error"]
+                                   t0, batch_size=self.eval_bs)["l2_error"]
             if plots:
                 x = eq.sample_x(jax.random.fold_in(kt, 3), t_rand)
                 tx = jnp.concatenate([t_rand, x], axis=-1)
-                err = jnp.abs(sol.value(tx) - eq.exact_solution(t_rand, x))
+                err = jnp.abs(value_batched(sol, tx, self.eval_bs)
+                              - eq.exact_solution(t_rand, x))
                 plot_error(self.exp_dir, t_rand, x, err, f"iter_{i:03d}")
             print(f"Iter {i}: L2(td) = {rec['l2_td']:.4e}  "
                   f"L2(t0) = {rec['l2_t0']:.4e}")
@@ -140,7 +147,7 @@ class ExperimentEvaluator:
         out = []
         for i in range(1, self.cfg.PICARD.N + 1):
             sol = self.get_solution(i)
-            u_sol = sol.value(tx)
+            u_sol = value_batched(sol, tx, self.eval_bs)
             err = jnp.abs(u_sol - u)
             l2 = float(jnp.sqrt(jnp.mean(err ** 2)))
             rec = {"iter": i, "l2": l2}

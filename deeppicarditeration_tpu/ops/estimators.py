@@ -57,6 +57,21 @@ def largest_divisor(n: int, cap: int, step: int = 1) -> int:
            if step == 2 else ""))
 
 
+_FALLBACK_NOTICED = set()
+
+
+def _notice_forced_fallback(flag: str, reason: str) -> None:
+    """One-line, once-per-(flag, reason) notice when an EXPLICITLY forced
+    Pallas flag is overridden to the XLA path. Mirrors the TRAIN.FUSED
+    gate_fail message: a user who forced a kernel must not silently get
+    the path they opted out of."""
+    if (flag, reason) in _FALLBACK_NOTICED:
+        return
+    _FALLBACK_NOTICED.add((flag, reason))
+    print(f"{flag}: true requested but unavailable ({reason}); "
+          "using the XLA path")
+
+
 def sublane_tile(b: int, cap: int) -> Optional[int]:
     """Batch tile for the Pallas kernels, or None when the batch cannot
     tile to the 8-row f32 sublane.
@@ -254,7 +269,10 @@ def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
                    and tx.shape[0] % ndev == 0)
         b_local = tx.shape[0] // ndev if sharded else tx.shape[0]
         if sublane_tile(b_local, 512) is None:
-            pass  # sublane-degenerate batch: XLA fallback below
+            _notice_forced_fallback(
+                "DATA.TPU.PALLAS_TERMINAL",
+                f"per-device batch {b_local} cannot tile to the 8-row "
+                "sublane")
         else:
             from deeppicarditeration_tpu.ops.pallas_kernels import (
                 seed_from_key,
@@ -361,7 +379,10 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
                    and tx.shape[0] % ndev == 0)
         b_local = tx.shape[0] // ndev if sharded else tx.shape[0]
         if sublane_tile(b_local, 128) is None:
-            pass  # sublane-degenerate batch: XLA fallback below
+            _notice_forced_fallback(
+                "DATA.TPU.PALLAS_INTEGRAL",
+                f"per-device batch {b_local} cannot tile to the 8-row "
+                "sublane")
         else:
             from deeppicarditeration_tpu.ops.pallas_kernels import (
                 integral_with_gradients_pallas,
@@ -645,6 +666,11 @@ def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
     b_local = b
     if ndev is not None and ndev > 1:
         if b % ndev:
+            if mode is True:
+                _notice_forced_fallback(
+                    "DATA.TPU.PALLAS_GENERATE",
+                    f"batch {b} is not divisible by the mesh data axis "
+                    f"({ndev})")
             return None
         b_local = b // ndev
     if mode is True:
@@ -662,7 +688,12 @@ def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
                                   antithetic=gen.antithetic,
                                   mxu_precision=gen.pallas_precision)
     if spec is None or sublane_tile(b_local, spec[0]) is None:
-        return None  # sublane-degenerate batch: XLA path
+        if mode is True and spec is not None:
+            _notice_forced_fallback(
+                "DATA.TPU.PALLAS_GENERATE",
+                f"per-device batch {b_local} cannot tile to the 8-row "
+                "sublane")
+        return None  # sublane-degenerate batch / no fitting tile: XLA path
     return spec
 
 

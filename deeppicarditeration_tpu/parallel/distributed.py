@@ -65,4 +65,57 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 def is_primary() -> bool:
+    """True on the process that owns host-side IO (exp dir, metrics,
+    dataset files, plots). The checkpoint path is NOT guarded by this:
+    orbax saves/restores are collectives every process must enter."""
     return jax.process_index() == 0
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def barrier(name: str) -> None:
+    """Cross-process sync point (no-op single-process). Non-primary
+    processes wait here for primary's host IO (exp-dir creation, dataset
+    writes) before depending on its effects."""
+    if is_multiprocess():
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def host_local_copy(tree):
+    """Process-local copy of a FULLY-REPLICATED global pytree.
+
+    Eager (non-jit) host work — plotting, numpy post-processing — cannot
+    consume arrays that span non-addressable devices. For replicated
+    arrays every process holds a complete shard, so the local copy is
+    exact and free of collectives."""
+    def one(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            if not a.is_fully_replicated:
+                raise ValueError(
+                    "host_local_copy needs a fully-replicated array; got "
+                    f"sharding {a.sharding}")
+            return jax.numpy.asarray(a.addressable_shards[0].data)
+        return a
+
+    return jax.tree_util.tree_map(one, tree)
+
+
+def gather_to_host(a):
+    """Full numpy value of a (possibly data-sharded) global array.
+
+    COLLECTIVE when the array is not fully addressable — every process
+    must call it (process_allgather); each then holds the full value and
+    the primary alone writes it to disk."""
+    import numpy as np
+
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        if a.is_fully_replicated:
+            return np.asarray(a.addressable_shards[0].data)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)

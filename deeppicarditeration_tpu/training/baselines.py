@@ -29,6 +29,7 @@ from deeppicarditeration_tpu.ops.derivatives import (
     full_hessian,
     hutchinson_laplacian,
 )
+from deeppicarditeration_tpu.parallel.distributed import is_primary
 from deeppicarditeration_tpu.training import checkpoint as ckpt
 from deeppicarditeration_tpu.training.trainer import jit_opt_init
 
@@ -617,8 +618,11 @@ def _baseline_loop(runner, key, step, params, opt_state, n_epochs, tag):
         # (These nets are small; the blocking write is milliseconds.)
         ckpt.save_params(state_path, {"params": params, "opt": opt_state},
                          block=True)
-        meta_path.write_text(json.dumps({"epoch": e0 + n,
-                                         "wall_time": wall}))
+        # the orbax save above is a collective (all processes enter);
+        # the meta stamp is plain host IO — primary only
+        if is_primary():
+            meta_path.write_text(json.dumps({"epoch": e0 + n,
+                                             "wall_time": wall}))
         if eval_fn is not None:
             em = {nm: float(v) for nm, v in zip(names, ev_vals)}
             em["wall_time"] = wall

@@ -22,6 +22,7 @@ import jax
 import orbax.checkpoint as ocp
 
 _CKPTR = None
+_MISSING = object()  # sentinel: attribute absent vs present-but-None
 
 
 def _checkpointer() -> ocp.AsyncCheckpointer:
@@ -76,8 +77,16 @@ def is_readable(path: pathlib.Path) -> bool:
     only: no O(checkpoint-size) I/O on the error path."""
     ckptr = _checkpointer()
     ckptr.wait_until_finished()
+    p = pathlib.Path(path).absolute()
     try:
-        meta = ckptr.metadata(pathlib.Path(path).absolute())
-        return getattr(meta, "item_metadata", None) is not None
+        meta = ckptr.metadata(p)
+        item_md = getattr(meta, "item_metadata", _MISSING)
+        if item_md is not _MISSING:
+            return item_md is not None
     except Exception:
         return False
+    # orbax version whose metadata() result has no item_metadata at all
+    # (vs present-but-None = unparseable): fall back to the committed
+    # checkpoint's on-disk metadata markers so a structural mismatch is
+    # not silently classified as "start fresh"
+    return (p / "_METADATA").exists() or (p / "_CHECKPOINT_METADATA").exists()

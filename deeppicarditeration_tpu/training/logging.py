@@ -34,12 +34,20 @@ class MetricLogger:
     def __init__(self, exp_dir: pathlib.Path, logger: str = "jsonl",
                  tensorboard_dir: Optional[str] = None,
                  name: str = "exp", logger_kwargs: Optional[Dict] = None,
-                 hparams: Optional[Dict] = None):
+                 hparams: Optional[Dict] = None, primary: bool = True):
         if logger not in _KNOWN_LOGGERS:
             raise ValueError(
                 f"LOGGING.LOGGER {logger!r} is not supported; use one of "
                 f"{[k for k in _KNOWN_LOGGERS if k]} "
                 "(picard_iteration.py:265-276 parity)")
+        # non-primary processes of a multi-process run validate the config
+        # (above, so every rank fails in unison on a bad logger name) but
+        # perform NO host IO: every process appending to the same
+        # metrics.jsonl would duplicate each row N times
+        self._primary = bool(primary)
+        if not self._primary:
+            self._jsonl = self._tb = self._wandb = self._wandb_run = None
+            return
         self.exp_dir = pathlib.Path(exp_dir)
         self.exp_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.exp_dir / "metrics.jsonl", "a")
@@ -103,6 +111,8 @@ class MetricLogger:
             self._wandb = None
 
     def log(self, metrics: Dict, step: int, context: str = "train") -> None:
+        if not self._primary:
+            return
         rec = {"step": step, "context": context, "time": time.time()}
         rec.update({k: _jsonable(v) for k, v in metrics.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -122,6 +132,8 @@ class MetricLogger:
                 pass  # never kill the run over telemetry
 
     def close(self) -> None:
+        if not self._primary:
+            return
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
