@@ -309,6 +309,11 @@ def default_cfg() -> Config:
     # path generator (ops/rollout.py). Off: closed-form XLA draw+cumsum
     # (already scan-free; measured on-par — see rollout.py docstring).
     c.DATA.TPU.PALLAS_ROLLOUT = False
+    # Storage dtype for the second-order-backprop Hessian chain's
+    # (R, w, w) G blocks (FN/SDGD generation, derivatives.py):
+    # null = f32 | bf16 (halves HBM bytes on that bandwidth-bound path;
+    # MXU consumes bf16 natively with f32 accumulation).
+    c.DATA.TPU.HESSIAN_STORE = None
 
     c.MESH = Config()
     c.MESH.AXES = ["data"]

@@ -53,6 +53,19 @@ def _elementwise_d12(act, z):
     return jax.jvp(d1, (z,), (jnp.ones_like(z),))
 
 
+def _store_cast(store):
+    """(cast, preferred_element_type) for the second-order chain's
+    (R, w, w) intermediates. ``store == "bf16"`` halves HBM traffic on
+    the BANDWIDTH-bound FN/SDGD generation path (~8 FLOP/byte measured;
+    CLAUDE.md): the G blocks are written and re-read in bf16 and the MXU
+    consumes bf16 operands natively with f32 accumulation
+    (preferred_element_type). ``None`` is bit-identical to the original
+    f32 chain."""
+    if store == "bf16":
+        return (lambda a: a.astype(jnp.bfloat16)), jnp.float32
+    return (lambda a: a), None
+
+
 def _gz_boundary(s1, G):
     """G_{z_0} = s1 G_{a_0} s1^T: the shared first-layer-boundary assembly
     used by BOTH mlp_hessian_diag and full_hessian (the diag(curv) term is
@@ -61,7 +74,7 @@ def _gz_boundary(s1, G):
     return s1[:, :, None] * G * s1[:, None, :]
 
 
-def mlp_hessian_diag(sol: Solution, t, x) -> jnp.ndarray:
+def mlp_hessian_diag(sol: Solution, t, x, store=None) -> jnp.ndarray:
     """Exact FULL Hessian diagonal d^2 u / dx_i^2 of a plain-MLP value
     head, (..., nx), via second-order backprop.
 
@@ -80,24 +93,30 @@ def mlp_hessian_diag(sol: Solution, t, x) -> jnp.ndarray:
     bandwidth-viable on TPU; the per-index jvp fallback below remains for
     small v and non-MLP modules.
     """
-    W1x, s1, curv, G = _mlp_second_order(sol, t, x)
+    W1x, s1, curv, G = _mlp_second_order(sol, t, x, store=store)
+    cast, pet = _store_cast(store)
     if G is None:  # single hidden layer
         diag = jnp.einsum("io,ro->ri", W1x ** 2, curv)
     else:
-        Gz = _gz_boundary(s1, G)
-        diag = (jnp.einsum("io,rol,il->ri", W1x, Gz, W1x,
-                           optimize="greedy")
+        Gz = cast(_gz_boundary(s1, G))
+        diag = (jnp.einsum("io,rol,il->ri", cast(W1x), Gz, cast(W1x),
+                           optimize="greedy", preferred_element_type=pet)
                 + jnp.einsum("io,ro->ri", W1x ** 2, curv))
-    return diag.reshape(x.shape[:-1] + (x.shape[-1],))
+    return diag.astype(x.dtype).reshape(x.shape[:-1] + (x.shape[-1],))
 
 
-def _mlp_second_order(sol: Solution, t, x):
+def _mlp_second_order(sol: Solution, t, x, store=None):
     """Shared second-order-backprop chain for a plain-MLP value head.
 
     Returns (W1x, s1_0, curv_0, G_{a_0}) at the first-hidden-layer
     boundary, from which diag(H) / full H are cheap contractions:
     G_{z_0} = s1_0 G_{a_0} s1_0^T + diag(curv_0), H = W1x G_{z_0} W1x^T.
     G_{a_0} is None when the net has a single hidden layer (exactly 0).
+
+    ``store == "bf16"`` keeps every (R, w, w) G block in bf16 (see
+    _store_cast): the chain is HBM-bandwidth-bound and these blocks are
+    ~w/2 of its bytes; the (R, w) vectors (delta, s1, curv) stay f32 —
+    they are w-times smaller and feed the first-order accuracy.
     """
     from deeppicarditeration_tpu.models.networks import MLP, get_activation
 
@@ -128,6 +147,7 @@ def _mlp_second_order(sol: Solution, t, x):
         ind = (jnp.abs(y[..., 0:1]) < module.bound).astype(x.dtype)
         delta = delta * ind
 
+    cast, pet = _store_cast(store)
     G = None  # d^2u/da_k^2 at the top is exactly zero (linear head)
     for W, z, act in zip(kernels[-2:0:-1], zs[::-1][:-1],
                          module.activations[::-1][:-1]):
@@ -137,11 +157,12 @@ def _mlp_second_order(sol: Solution, t, x):
         # the diag(curv) term is contracted directly (never materialized)
         Ga = jnp.einsum("io,ro,jo->rij", W, curv, W, optimize="greedy")
         if G is not None:
-            Gz = s1[:, :, None] * G * s1[:, None, :]
-            Ga = Ga + jnp.einsum("io,rol,jl->rij", W, Gz, W,
-                                 optimize="greedy")
+            Gz = cast(s1[:, :, None] * G * s1[:, None, :])
+            Ga = Ga + jnp.einsum("io,rol,jl->rij", cast(W), Gz, cast(W),
+                                 optimize="greedy",
+                                 preferred_element_type=pet)
         delta = (s1 * delta) @ W.T
-        G = Ga
+        G = cast(Ga)
 
     act0 = get_activation(module.activations[0])
     s1, s2 = _elementwise_d12(act0, zs[0])
@@ -178,7 +199,8 @@ def sdgd_index_counts(indices, nx: int):
         (indices[..., :, None] == iota).astype(jnp.float32), axis=-2)
 
 
-def diag_hessian_entries(sol: Solution, t, x, indices) -> jnp.ndarray:
+def diag_hessian_entries(sol: Solution, t, x, indices,
+                         store=None) -> jnp.ndarray:
     """Sampled diagonal Hessian entries d^2 u / dx_i^2 of the value head.
 
     t: (..., 1), x: (..., nx), indices: (..., v) int32 -> (..., v).
@@ -195,7 +217,7 @@ def diag_hessian_entries(sol: Solution, t, x, indices) -> jnp.ndarray:
     nx = x.shape[-1]
     v = indices.shape[-1]
     if _mlp_fast_path(sol) and 4 * v >= min(sol.module.neurons):
-        diag = mlp_hessian_diag(sol, t, x)
+        diag = mlp_hessian_diag(sol, t, x, store=store)
         return jnp.take_along_axis(diag, indices, axis=-1)
     u_fn = _value_fn(sol)
 
@@ -217,24 +239,26 @@ def diag_hessian_entries(sol: Solution, t, x, indices) -> jnp.ndarray:
     return flat.reshape(indices.shape)
 
 
-def full_hessian(sol: Solution, t, x) -> jnp.ndarray:
+def full_hessian(sol: Solution, t, x, store=None) -> jnp.ndarray:
     """Per-sample (nx, nx) Hessian of the value head: (..., nx, nx).
 
     Plain-MLP solutions use the shared second-order-backprop chain
     (H = W1x G_{z_0} W1x^T — two batched MXU contractions per sample
     instead of nx reverse-over-forward passes); others fall back to
-    vmap(jax.hessian)."""
+    vmap(jax.hessian). ``store``: see _mlp_second_order."""
     nx = x.shape[-1]
     if sol.kind == "zero":
         return jnp.zeros(x.shape[:-1] + (nx, nx), x.dtype)
     if _mlp_fast_path(sol):
-        W1x, s1, curv, G = _mlp_second_order(sol, t, x)
+        W1x, s1, curv, G = _mlp_second_order(sol, t, x, store=store)
+        cast, pet = _store_cast(store)
         H = jnp.einsum("io,ro,jo->rij", W1x, curv, W1x, optimize="greedy")
         if G is not None:
-            Gz = _gz_boundary(s1, G)
-            H = H + jnp.einsum("io,rol,jl->rij", W1x, Gz, W1x,
-                               optimize="greedy")
-        return H.reshape(x.shape[:-1] + (nx, nx))
+            Gz = cast(_gz_boundary(s1, G))
+            H = H + jnp.einsum("io,rol,jl->rij", cast(W1x), Gz, cast(W1x),
+                               optimize="greedy",
+                               preferred_element_type=pet)
+        return H.astype(x.dtype).reshape(x.shape[:-1] + (nx, nx))
     u_fn = _value_fn(sol)
 
     def per_sample(t1, x1):
@@ -279,7 +303,7 @@ def exact_laplacian(sol: Solution, t, x) -> jnp.ndarray:
 
 def get_f(eq, sol: Solution, s, x, *,
           hess_indices: Optional[jnp.ndarray] = None,
-          hutchinson_key=None) -> jnp.ndarray:
+          hutchinson_key=None, hess_store=None) -> jnp.ndarray:
     """Evaluate the PDE nonlinearity at (s, x) under the frozen solution.
 
     Reference parity: data.py:1226-1325. Dispatch:
@@ -299,14 +323,15 @@ def get_f(eq, sol: Solution, s, x, *,
                 # of the sampled entries, so contract multiplicity counts
                 # with the exact full diagonal — numerically identical to
                 # gathering the sampled entries (modulo reassociation).
-                diag = mlp_hessian_diag(sol, s, x)
+                diag = mlp_hessian_diag(sol, s, x, store=hess_store)
                 c = sdgd_index_counts(hess_indices, x.shape[-1])
                 m1 = jnp.sum(c * diag, axis=-1, keepdims=True) / v
                 m2 = jnp.sum(c * jnp.abs(diag), axis=-1, keepdims=True) / v
                 return eq.ffi_stats(s, x, u, m1, m2)
-            u_ii = diag_hessian_entries(sol, s, x, hess_indices)
+            u_ii = diag_hessian_entries(sol, s, x, hess_indices,
+                                        store=hess_store)
             return eq.ffi(s, x, u, u_ii)
-        hess = full_hessian(sol, s, x)
+        hess = full_hessian(sol, s, x, store=hess_store)
         return eq.ffh(s, x, u, u_x, hess)
     if eq.has_laplacian_term:
         if eq.num_v_samples and eq.num_v_samples > 0:

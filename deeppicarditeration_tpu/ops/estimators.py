@@ -99,6 +99,11 @@ class GenConfig:
     i: int = 1  # current iteration
     sample_bound: Optional[float] = None
     sdgd_v: Optional[int] = None  # SDGD sampled-diagonal width (None => full)
+    # Storage dtype for the second-order-backprop (R, w, w) Hessian chain
+    # blocks (derivatives._mlp_second_order): None = f32 (bit-identical
+    # baseline) or "bf16" — halves HBM bytes on the BANDWIDTH-bound
+    # FN/SDGD generation path (DATA.TPU.HESSIAN_STORE).
+    hess_store: Optional[str] = None
     estimate_delta_t: float = 0.0  # >0 => TD (short-horizon) estimators
     tpu_prng: bool = False  # hardware-PRNG increments (Pallas kernel)
     antithetic: bool = False  # +/- dW pairs: half the draws, lower variance
@@ -226,7 +231,8 @@ def estimate_integral(key, eq, sol: Solution, tx, gen: GenConfig):
         Xs = x[:, None, :] + jnp.sqrt(s - t[:, None, :]) * eq.alpha_sqrt * dW
         idx = (_sdgd_indices(kh, (b, mc, gen.sdgd_v), nx)
                if (eq.has_hessian_term and gen.sdgd_v) else None)
-        f = get_f(eq, sol, s, Xs, hess_indices=idx, hutchinson_key=kh)
+        f = get_f(eq, sol, s, Xs, hess_indices=idx, hutchinson_key=kh,
+                  hess_store=gen.hess_store)
         return jnp.sum((eq.T - t)[:, None, :] * f, axis=1)
 
     return _scan_mean(key, m, mc, (b, 1), chunk_sum, x.dtype)
@@ -275,21 +281,35 @@ def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
                 "sublane")
         else:
             from deeppicarditeration_tpu.ops.pallas_kernels import (
+                pick_standalone_tile,
                 seed_from_key,
                 terminal_with_gradients_pallas,
                 terminal_with_gradients_pallas_sharded,
             )
 
-            draws = _forced_pallas_draws(key, tx, gen.n_estimate_terminal,
-                                         gen.antithetic)
-            if sharded:
-                return terminal_with_gradients_pallas_sharded(
+            # confirm-or-walk-down, like the merged dispatcher: a forced
+            # flag must not reach a runtime Mosaic failure on a net the
+            # VMEM heuristics never saw (512 = measured best on v5e at
+            # B=4096, M=4096, nx=100; 93 ms vs 111 ms XLA)
+            tile = pick_standalone_tile(
+                "terminal", eq, None, tx.shape[1] - 1, b_local, 512,
+                antithetic=gen.antithetic)
+            if tile is None:
+                _notice_forced_fallback(
+                    "DATA.TPU.PALLAS_TERMINAL",
+                    "no batch tile passes the Mosaic trial compile")
+            else:
+                draws = _forced_pallas_draws(key, tx,
+                                             gen.n_estimate_terminal,
+                                             gen.antithetic)
+                if sharded:
+                    return terminal_with_gradients_pallas_sharded(
+                        seed_from_key(key), eq, tx, gen.n_estimate_terminal,
+                        mesh=gen.mesh, axis=gen.mesh_axis, tile_b=tile,
+                        mblk=8, antithetic=gen.antithetic, **draws)
+                return terminal_with_gradients_pallas(
                     seed_from_key(key), eq, tx, gen.n_estimate_terminal,
-                    mesh=gen.mesh, axis=gen.mesh_axis, tile_b=512, mblk=8,
-                    antithetic=gen.antithetic, **draws)
-            return terminal_with_gradients_pallas(
-                seed_from_key(key), eq, tx, gen.n_estimate_terminal,
-                tile_b=512, mblk=8, antithetic=gen.antithetic, **draws)
+                    tile_b=tile, mblk=8, antithetic=gen.antithetic, **draws)
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_terminal
@@ -330,12 +350,14 @@ def _baseline_f(eq, sol: Solution, t, x, key, gen: GenConfig):
 
         if _mlp_fast_path(sol):
             # the full diagonal directly — no identity-index gather
-            return None, mlp_hessian_diag(sol, t, x)
+            return None, mlp_hessian_diag(sol, t, x, store=gen.hess_store)
         full_idx = jnp.broadcast_to(jnp.arange(x.shape[-1], dtype=jnp.int32),
                                     x.shape)
-        d0 = diag_hessian_entries(sol, t, x, full_idx)
+        d0 = diag_hessian_entries(sol, t, x, full_idx,
+                                  store=gen.hess_store)
         return None, d0
-    f0 = get_f(eq, sol, t, x, hutchinson_key=key)
+    f0 = get_f(eq, sol, t, x, hutchinson_key=key,
+               hess_store=gen.hess_store)
     return f0, None
 
 
@@ -387,22 +409,37 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
             from deeppicarditeration_tpu.ops.pallas_kernels import (
                 integral_with_gradients_pallas,
                 integral_with_gradients_pallas_sharded,
+                pick_standalone_tile,
                 seed_from_key,
             )
 
-            draws = _forced_pallas_draws(key, tx, gen.n_estimate_integral,
-                                         gen.antithetic, with_u01=True)
-            if sharded:
-                return integral_with_gradients_pallas_sharded(
+            # confirm-or-walk-down (see the terminal path; 128 = measured
+            # best on v5e — the in-kernel net fwd+vjp holds ~8 MB of
+            # activations, so wide nets need smaller tiles or XLA)
+            tile = pick_standalone_tile(
+                "integral", eq, sol, tx.shape[1] - 1, b_local, 128,
+                antithetic=gen.antithetic,
+                mxu_precision=gen.pallas_precision)
+            if tile is None:
+                _notice_forced_fallback(
+                    "DATA.TPU.PALLAS_INTEGRAL",
+                    "no batch tile passes the Mosaic trial compile")
+            else:
+                draws = _forced_pallas_draws(key, tx,
+                                             gen.n_estimate_integral,
+                                             gen.antithetic, with_u01=True)
+                if sharded:
+                    return integral_with_gradients_pallas_sharded(
+                        seed_from_key(key, 1), eq, sol, tx,
+                        gen.n_estimate_integral, mesh=gen.mesh,
+                        axis=gen.mesh_axis, tile_b=tile, mblk=8,
+                        antithetic=gen.antithetic,
+                        mxu_precision=gen.pallas_precision, **draws)
+                return integral_with_gradients_pallas(
                     seed_from_key(key, 1), eq, sol, tx,
-                    gen.n_estimate_integral, mesh=gen.mesh,
-                    axis=gen.mesh_axis, tile_b=128, mblk=8,
-                    antithetic=gen.antithetic,
+                    gen.n_estimate_integral,
+                    tile_b=tile, mblk=8, antithetic=gen.antithetic,
                     mxu_precision=gen.pallas_precision, **draws)
-            return integral_with_gradients_pallas(
-                seed_from_key(key, 1), eq, sol, tx, gen.n_estimate_integral,
-                tile_b=128, mblk=8, antithetic=gen.antithetic,
-                mxu_precision=gen.pallas_precision, **draws)
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_integral
@@ -425,7 +462,8 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
         Xs = x[:, None, :] + jnp.sqrt(st) * eq.alpha_sqrt * dW
         idx = (_sdgd_indices(kh, (b, mc, gen.sdgd_v), nx)
                if (eq.has_hessian_term and gen.sdgd_v) else None)
-        f = get_f(eq, sol, s, Xs, hess_indices=idx, hutchinson_key=kh)
+        f = get_f(eq, sol, s, Xs, hess_indices=idx, hutchinson_key=kh,
+                  hess_store=gen.hess_store)
         if idx is not None:
             f0_b = _baseline_f_at_indices(eq, sol, t, x, d0, idx, u0)
         else:
@@ -498,7 +536,8 @@ def estimate_integral_with_gradients_and_hessians(key, eq, sol: Solution,
     m = gen.n_estimate_integral
     mc = gen.chunk(m, b, nx)
     k_base, k_scan = jax.random.split(key)
-    f0 = get_f(eq, sol, t, x, hutchinson_key=k_base)  # full-Hessian baseline
+    f0 = get_f(eq, sol, t, x, hutchinson_key=k_base,  # full-Hessian baseline
+               hess_store=gen.hess_store)
     Tt = eq.T - t
 
     def chunk_sum(k, ck):
@@ -511,7 +550,8 @@ def estimate_integral_with_gradients_and_hessians(key, eq, sol: Solution,
         dW = _draw_normals(gen, kw, (b, mc, nx), x.dtype)
         Xs = x[:, None, :] + jnp.sqrt(st) * eq.alpha_sqrt * dW
         kf, kp, km = jax.random.split(jax.random.fold_in(k, 1), 3)
-        f = get_f(eq, sol, s, Xs, hutchinson_key=kf)
+        f = get_f(eq, sol, s, Xs, hutchinson_key=kf,
+                  hess_store=gen.hess_store)
         diff = Tt[:, None, :] * (f - f0[:, None, :])
         val = jnp.sum(diff, axis=1)
         inv_y = 1.0 / (jnp.sqrt(_safe(st)) * eq.alpha_sqrt)
@@ -520,8 +560,10 @@ def estimate_integral_with_gradients_and_hessians(key, eq, sol: Solution,
         W2 = jnp.sqrt(st) * _draw_normals(gen, kh, (b, mc, nx), x.dtype)
         Xp = x[:, None, :] + eq.alpha_sqrt * W2
         Xm = x[:, None, :] - eq.alpha_sqrt * W2
-        fp = get_f(eq, sol, s, Xp, hutchinson_key=kp)
-        fm = get_f(eq, sol, s, Xm, hutchinson_key=km)
+        fp = get_f(eq, sol, s, Xp, hutchinson_key=kp,
+                   hess_store=gen.hess_store)
+        fm = get_f(eq, sol, s, Xm, hutchinson_key=km,
+                   hess_store=gen.hess_store)
         dlt = (fp + fm - 2.0 * f0[:, None, :]) / 2.0 / _safe(st)
         w = dlt / _safe(st)
         part1 = jnp.einsum("bmi,bmj->bij", w[..., 0:1] * W2, W2)
@@ -590,7 +632,8 @@ def estimate_integral_with_gradients_td(key, eq, sol: Solution, tx,
         Xs = x[:, None, :] + jnp.sqrt(st) * eq.alpha_sqrt * dW
         idx = (_sdgd_indices(kh, (b, mc, gen.sdgd_v), nx)
                if (eq.has_hessian_term and gen.sdgd_v) else None)
-        f = get_f(eq, sol, s, Xs, hess_indices=idx, hutchinson_key=kh)
+        f = get_f(eq, sol, s, Xs, hess_indices=idx, hutchinson_key=kh,
+                  hess_store=gen.hess_store)
         if idx is not None:
             f0_b = _baseline_f_at_indices(eq, sol, t, x, d0, idx, u0)
         else:

@@ -130,6 +130,13 @@ def gen_config_from_cfg(cfg, i: int, mesh=None) -> GenConfig:
     if ("ByGx" in (d.ESTIMATE_TERMINAL or "")
             or "Joint" in (d.ESTIMATE_INTEGRAL or "")):
         eps = 0.01  # reference data.py:134-137
+    hess_store = (str(d.TPU.HESSIAN_STORE).lower()
+                  if d.TPU.get("HESSIAN_STORE") else None)
+    if hess_store not in (None, "bf16"):
+        # a typo would otherwise silently run the f32 chain
+        raise ValueError(
+            f"DATA.TPU.HESSIAN_STORE must be null or 'bf16', got "
+            f"{d.TPU.HESSIAN_STORE!r}")
     return GenConfig(
         n_estimate_terminal=int(kwargs.get("n_estimate_terminal", 1)),
         n_estimate_integral=int(kwargs.get("n_estimate_integral", 1)),
@@ -148,6 +155,7 @@ def gen_config_from_cfg(cfg, i: int, mesh=None) -> GenConfig:
         pallas_integral=bool(d.TPU.PALLAS_INTEGRAL),
         pallas_generate=_tri_state(d.TPU.PALLAS_GENERATE),
         pallas_precision=str(d.TPU.get("PALLAS_PRECISION", "bf16x3")),
+        hess_store=hess_store,
         mesh=mesh,
     )
 

@@ -229,6 +229,84 @@ def test_metric_logger_wandb_per_iteration_runs(tmp_path, monkeypatch):
     assert calls[0].kw["config"] == {"SEED": 0}
 
 
+def test_runner_wandb_backend_end_to_end(tmp_path, monkeypatch):
+    """A FULL tiny recipe through PicardRunner with LOGGING.LOGGER wandb:
+    one grouped offline run per Picard iteration, train metrics logged
+    into the right run, every run finished at close (VERDICT r3 item 6).
+
+    The real package cannot be exercised in this image (zero egress; pip
+    has no index — verified: `pip download wandb` finds no distribution),
+    so the double below is STRICT about the wandb.init surface: only the
+    documented keyword set is accepted, so an API drift in our caller
+    fails here instead of only at a customer's real wandb."""
+    import sys
+    import types
+
+    _INIT_KW = {"project", "group", "name", "mode", "dir", "config",
+                "reinit", "entity", "tags", "notes", "id", "job_type",
+                "resume", "settings"}
+    runs = []
+
+    class _Run:
+        def __init__(self, kw):
+            self.kw = kw
+            self.logged = []
+            self.finished = False
+
+        def log(self, metrics, step=None):
+            assert isinstance(metrics, dict)
+            self.logged.append((metrics, step))
+
+        def finish(self):
+            self.finished = True
+
+    fake = types.ModuleType("wandb")
+
+    def _init(**kw):
+        unknown = set(kw) - _INIT_KW
+        assert not unknown, f"non-wandb init kwargs: {unknown}"
+        assert kw["mode"] in ("offline", "online", "disabled")
+        run = _Run(kw)
+        runs.append(run)
+        return run
+
+    fake.init = _init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from deeppicarditeration_tpu.config import default_cfg
+    from deeppicarditeration_tpu.training.picard import PicardRunner
+
+    cfg = default_cfg()
+    cfg.NAME = "wb_e2e"
+    cfg.FORCE = True
+    cfg.EQUATION.cls = "Cha"
+    cfg.EQUATION.kwargs = {"nx": 3, "alpha": 1.0, "k": 1.0, "T": 1.0}
+    cfg.PICARD.N = 2
+    cfg.DATA.DATA_SIZE = 64
+    cfg.DATA.CHUNK_ELEMS = 2 ** 14
+    cfg.DATA.kwargs = {"t_always_uniform": True,
+                       "n_estimate_terminal": 16,
+                       "n_estimate_integral": 16}
+    cfg.TRAIN.BATCH_SIZE = 32
+    cfg.TRAIN.N_EPOCHS = 1
+    cfg.NETWORK.NEURONS = [8]
+    cfg.NETWORK.ACTIVATIONS = ["Tanh"]
+    cfg.EVAL.FREQ = None
+    cfg.LOGGING.LOGGER = "wandb"
+    PicardRunner(cfg, exp_root=tmp_path).run()
+
+    assert [r.kw["name"] for r in runs] == ["wb_e2e_picard_iter_1",
+                                            "wb_e2e_picard_iter_2"]
+    assert all(r.kw["group"] == "wb_e2e" for r in runs)
+    assert all(r.kw["mode"] == "offline" for r in runs)
+    assert all(r.finished for r in runs)
+    # each iteration's train metrics landed in ITS run
+    for r in runs:
+        assert any("train/train_loss" in m for m, _ in r.logged), r.logged
+    # hparams attached (the reference passes the config dict, :269)
+    assert runs[0].kw["config"]["NAME"] == "wb_e2e"
+
+
 def test_step_timer_holder_blocks_on_region_result(monkeypatch, capsys):
     """step_timer yields a holder so values computed INSIDE the region are
     waited on (the old result kwarg was evaluated at entry — review
