@@ -56,6 +56,10 @@ EVAL:
             for l in (tmp_path / "mc.jsonl").read_text().splitlines()]
     assert [r["iter"] for r in recs] == [0, 1, 2]
     assert all("u_mc_at_zero" in r for r in recs)
+    # --out appends; each record must carry the run delimiter so reruns
+    # of the same command stay separable (ADVICE r3 item 4)
+    assert all(r["protocol"] == "mc_at_zero" and "run_ts" in r
+               and r["exp"] == "cli_tiny" for r in recs)
 
     # the recorded-protocol harness must stay runnable (round-3 artifact)
     repo = pathlib.Path(__file__).resolve().parents[1]
