@@ -136,6 +136,51 @@ def _assert_bitwise(a, b, what):
         np.testing.assert_array_equal(la, lb, err_msg=what)
 
 
+_PINN_YAML = """
+NAME: mp_pinn
+FORCE: true
+EQUATION:
+  cls: Cha
+  kwargs: {nx: 3, alpha: 1.0, k: 1.0, T: 1.0}
+METHOD:
+  cls: PINN
+  num_v_samples: 2
+PICARD:
+  N: 1
+DATA:
+  DATA_SIZE: 64
+  CHUNK_ELEMS: 16384
+  kwargs: {t_always_uniform: true, n_estimate_terminal: 8,
+           n_estimate_integral: 8}
+TRAIN:
+  BATCH_SIZE: 32
+  N_EPOCHS: 6
+NETWORK:
+  NEURONS: [8]
+  ACTIVATIONS: [Tanh]
+EVAL:
+  FREQ: null
+"""
+
+
+def test_baseline_runner_two_process(tmp_path):
+    """The BASELINE path (PINN) through 2 processes: the periodic
+    {state, meta} save is an orbax collective + primary-only meta stamp
+    (`training/baselines.py`), a different IO shape from the Picard
+    path. One metrics stream, one meta file, committed final model."""
+    cfg = tmp_path / "pinn.yaml"
+    cfg.write_text(_PINN_YAML)
+    _run_two_process(tmp_path, cfg, [])
+    exp = tmp_path / "mp_pinn"
+    rows = [json.loads(r) for r in
+            (exp / "metrics.jsonl").read_text().splitlines()]
+    # one pinn-context row and one eval row per log interval — a
+    # duplicated-writer bug would double them
+    assert [r["context"] for r in rows] == ["pinn", "eval"], rows
+    assert (exp / "baseline_1_meta.json").exists()
+    assert _load_leaves(exp / "model_1")  # committed, restorable
+
+
 def test_full_runner_two_process_e2e(tmp_path):
     cfg = tmp_path / "tiny.yaml"
     cfg.write_text(_TINY_YAML)
