@@ -274,7 +274,12 @@ def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
         sharded = (ndev is not None and ndev > 1
                    and tx.shape[0] % ndev == 0)
         b_local = tx.shape[0] // ndev if sharded else tx.shape[0]
-        if sublane_tile(b_local, 512) is None:
+        # b % 8 != 0 <=> NO divisor of b is a multiple of 8 (8 | d | b
+        # would give 8 | b), i.e. no sublane-aligned tile exists at all;
+        # any other batch is left to pick_standalone_tile's walk-down
+        # (e.g. b = 2008 = 8 * 251 tiles at 8 even though its largest
+        # divisors are sublane-astride — review r4 finding)
+        if b_local % 8:
             _notice_forced_fallback(
                 "DATA.TPU.PALLAS_TERMINAL",
                 f"per-device batch {b_local} cannot tile to the 8-row "
@@ -400,7 +405,7 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
         sharded = (ndev is not None and ndev > 1
                    and tx.shape[0] % ndev == 0)
         b_local = tx.shape[0] // ndev if sharded else tx.shape[0]
-        if sublane_tile(b_local, 128) is None:
+        if b_local % 8:  # no sublane-aligned divisor exists (see terminal)
             _notice_forced_fallback(
                 "DATA.TPU.PALLAS_INTEGRAL",
                 f"per-device batch {b_local} cannot tile to the 8-row "
@@ -823,8 +828,10 @@ def generate_two_layer(key, eq, sol: Solution, sol_m2: Solution, tx,
         Xs = x[:, None, :] + jnp.sqrt(s - t[:, None, :]) * eq.alpha_sqrt * dW
         # both iterates see the SAME Hutchinson probes: the residual
         # f(u_{k-1}) - f(u_{k-2}) then cancels the probe noise exactly
-        f1 = get_f(eq, sol, s, Xs, hutchinson_key=kh)
-        f2 = get_f(eq, sol_m2, s, Xs, hutchinson_key=kh)
+        f1 = get_f(eq, sol, s, Xs, hutchinson_key=kh,
+                   hess_store=gen.hess_store)
+        f2 = get_f(eq, sol_m2, s, Xs, hutchinson_key=kh,
+                   hess_store=gen.hess_store)
         return jnp.sum((eq.T - t)[:, None, :] * (f1 - f2), axis=1)
 
     residual = _scan_mean(key, m, mc, (b, 1), chunk_sum, x.dtype)

@@ -238,9 +238,11 @@ class PicardRunner:
         refusal raises everywhere in unison instead of leaving
         non-primaries blocked at the barrier), but only the primary
         mutates the filesystem — N concurrent rmtree/write of the same
-        path is exactly the race VERDICT r3 flagged. The trailing barrier
-        keeps non-primaries from reading exp-dir state (RESUME replay,
-        checkpoints) before the primary finished preparing it."""
+        path is exactly the race VERDICT r3 flagged. The barrier BETWEEN
+        check and mutation keeps a slow rank's probe from racing the
+        primary's rmtree (iterdir on a vanishing dir raises); the
+        trailing barrier keeps non-primaries from reading exp-dir state
+        (RESUME replay, checkpoints) before the primary prepared it."""
         cfg_file = self.exp_dir / "config.yaml"
         wipe = False
         if self.exp_dir.exists() and any(self.exp_dir.iterdir()):
@@ -255,6 +257,7 @@ class PicardRunner:
                         "(picard_iteration.py:124-141 semantics)")
                 else:
                     wipe = True
+        barrier("prepare_exp_dir_checked")  # every probe done, FS quiescent
         if is_primary():
             if wipe:
                 shutil.rmtree(self.exp_dir)
@@ -348,7 +351,18 @@ class PicardRunner:
     def _make_dataset(self, key, gen: GenConfig, mode: str) -> DeviceDataset:
         cfg = self.cfg
         if not cfg.DATA.ONLINE:
-            return load_dataset(cfg.DATA.TRAIN_FILE)
+            # same placement as the RESUME-replay path below: a host-local
+            # file becomes a mesh-sharded global dataset (a local array
+            # mixed into the globally-sharded training jits would raise
+            # under multi-process — review r4 finding)
+            ds = load_dataset(cfg.DATA.TRAIN_FILE, dtype=self.dtype)
+            ndev = int(self.mesh.devices.size)
+            if ndev > 1 and ds.size % ndev:
+                raise ValueError(
+                    f"offline dataset {cfg.DATA.TRAIN_FILE} has {ds.size} "
+                    f"rows, not divisible by the mesh data axis ({ndev})")
+            return DeviceDataset(tx=jax.device_put(ds.tx, self.sharding),
+                                 y=jax.device_put(ds.y, self.sharding))
         n_total = int(cfg.DATA.DATA_SIZE)
         ndev = int(self.mesh.devices.size)
         gen_batch = cfg.DATA.get("GEN_BATCH")
@@ -476,7 +490,7 @@ class PicardRunner:
                 f"TRAIN.DISPATCH_STEPS must be >= 0 (0 = unbounded), "
                 f"got {raw!r}")
         if target == 0:
-            return n_epochs if n_epochs else 0
+            return n_epochs
         if steps > target and not getattr(self, "_warned_dispatch", False):
             self._warned_dispatch = True  # once per run, not per iteration
             print(f"warning: one epoch is {steps} steps > "

@@ -73,6 +73,10 @@ def test_pick_standalone_tile_accepts_on_cpu():
     eq, sol = _eq_sol()
     assert pk.pick_standalone_tile("terminal", eq, None, 3, 256, 512) == 256
     assert pk.pick_standalone_tile("integral", eq, sol, 3, 256, 128) == 128
+    # b = 2008 = 8 * 251: the largest divisors (502, 251) are
+    # sublane-astride, but the walk-down still finds the aligned tile 8 —
+    # the old sublane_tile pre-guard wrongly rejected such batches
+    assert pk.pick_standalone_tile("terminal", eq, None, 3, 2008, 512) == 8
 
 
 def test_forced_flags_fall_back_when_no_tile_compiles(monkeypatch, capsys):
