@@ -163,11 +163,20 @@ EVAL:
 """
 
 
+# DBDP's timestep count is T/dt (METHOD.dt), not METHOD.K: dt=0.125 at
+# T=1 gives an 8-step backward sweep (8 per-k metric rows + evals)
+_DBDP_OVERRIDES = ["NAME", "mp_dbdp", "METHOD.cls", "FullyNonlinearSolver",
+                   "METHOD.dt", "0.125", "METHOD.num_sub_iter", "2",
+                   "TRAIN.N_EPOCHS", "2"]
+
+
 def test_baseline_runner_two_process(tmp_path):
-    """The BASELINE path (PINN) through 2 processes: the periodic
-    {state, meta} save is an orbax collective + primary-only meta stamp
-    (`training/baselines.py`), a different IO shape from the Picard
-    path. One metrics stream, one meta file, committed final model."""
+    """The BASELINE paths through 2 processes. PINN exercises the
+    epoch-loop IO shape (periodic orbax {state, opt} collective save +
+    primary-only meta stamp); DBDP exercises the per-timestep backward
+    sweep with stacked-pytree checkpoints and per-k logging
+    (`training/baselines.py`). One metrics stream each, committed final
+    models."""
     cfg = tmp_path / "pinn.yaml"
     cfg.write_text(_PINN_YAML)
     _run_two_process(tmp_path, cfg, [])
@@ -179,6 +188,26 @@ def test_baseline_runner_two_process(tmp_path):
     assert [r["context"] for r in rows] == ["pinn", "eval"], rows
     assert (exp / "baseline_1_meta.json").exists()
     assert _load_leaves(exp / "model_1")  # committed, restorable
+
+    _run_two_process(tmp_path, cfg, _DBDP_OVERRIDES)
+    exp = tmp_path / "mp_dbdp"
+    rows = [json.loads(r) for r in
+            (exp / "metrics.jsonl").read_text().splitlines()]
+    ctx = [r["context"] for r in rows]
+    # one (dbdp, eval) pair per (timestep, sub-iter) log point: 8
+    # timesteps (T/dt) x 2 sub-iters; a duplicated-writer bug would
+    # double the pairs
+    assert ctx == ["dbdp", "eval"] * 16, ctx
+    assert _load_leaves(exp / "model_1")  # stacked per-timestep pytree
+
+    _run_two_process(tmp_path, cfg, ["NAME", "mp_diff", "METHOD.cls",
+                                     "Diffusion", "METHOD.K", "3",
+                                     "TRAIN.N_EPOCHS", "4"])
+    exp = tmp_path / "mp_diff"
+    rows = [json.loads(r) for r in
+            (exp / "metrics.jsonl").read_text().splitlines()]
+    assert [r["context"] for r in rows] == ["diffusion", "eval"], rows
+    assert _load_leaves(exp / "model_1")
 
 
 def test_full_runner_two_process_e2e(tmp_path):
