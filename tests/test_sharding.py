@@ -342,3 +342,31 @@ def test_fused_freq_iteration_under_mesh(tmp_path):
     ev8 = [r["rRMSE"] for r in rows["fmesh8"] if r["context"] == "eval"]
     assert len(ev1) == len(ev8) == 4  # 2 epochs x (4 steps / freq 2)
     np.testing.assert_allclose(ev1, ev8, rtol=5e-3)
+
+
+def test_distributed_host_helpers_single_process():
+    """gather_to_host / host_local_copy / barrier on the single-process
+    8-device mesh: sharded global arrays gather to their full value,
+    fully-addressable trees pass through untouched, barrier is a no-op
+    (the multi-process semantics ride the same code through
+    tests/test_multiprocess_runner.py)."""
+    from deeppicarditeration_tpu.parallel.distributed import (
+        barrier,
+        gather_to_host,
+        host_local_copy,
+        is_multiprocess,
+        is_primary,
+    )
+
+    assert is_primary() and not is_multiprocess()
+    barrier("noop")  # must not require peers single-process
+    mesh = make_mesh()
+    x = jnp.arange(32.0).reshape(16, 2)
+    xs = jax.device_put(x, data_sharding(mesh))
+    np.testing.assert_array_equal(gather_to_host(xs), np.asarray(x))
+    xr = jax.device_put(x, replicated(mesh))
+    np.testing.assert_array_equal(gather_to_host(xr), np.asarray(x))
+    tree = {"a": xr, "b": 3}
+    out = host_local_copy(tree)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.asarray(x))
+    assert out["b"] == 3
