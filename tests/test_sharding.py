@@ -370,3 +370,29 @@ def test_distributed_host_helpers_single_process():
     out = host_local_copy(tree)
     np.testing.assert_array_equal(np.asarray(out["a"]), np.asarray(x))
     assert out["b"] == 3
+
+
+def test_fn_sdgd_bf16_store_generation_shards(key):
+    """The FN/SDGD generation path with the SHIPPED bf16 Hessian-chain
+    storage must shard over the data axis like every other estimator
+    (pointwise across collocation points; bf16 rounding is per-row, so
+    single-device == sharded to float tolerance)."""
+    nx = 4
+    eq = make_equation("GBMEquationComplexExact", nx=nx, alpha=1.0, T=1.0)
+    mod = MLP(neurons=(16, 16), activations=("ELU", "ELU"), out_dim=1)
+    params = mod.init(key, jnp.zeros((1, 1 + nx)))
+    sol = Solution.from_net(mod, params, "Value", nx)
+    gen = est.GenConfig(n_estimate_terminal=32, n_estimate_integral=32,
+                        sdgd_v=4, hess_store="bf16", t_always_uniform=True,
+                        chunk_elems=2 ** 12, pallas_generate=False)
+    mesh = make_mesh()
+    tx = est.sample_tx(key, eq, 64, gen)
+    out_single = est.generate_with_gradients(key, eq, sol, tx, gen)
+    out_sharded = jax.jit(
+        lambda k, e, s, t: est.generate_with_gradients(k, e, s, t, gen),
+        out_shardings=data_sharding(mesh),
+    )(key, eq, jax.device_put(sol, replicated(mesh)),
+      shard_batch(tx, mesh))
+    np.testing.assert_allclose(np.asarray(out_single),
+                               np.asarray(out_sharded), rtol=2e-4,
+                               atol=1e-5)
