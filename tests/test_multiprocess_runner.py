@@ -136,6 +136,26 @@ def _assert_bitwise(a, b, what):
         np.testing.assert_array_equal(la, lb, err_msg=what)
 
 
+def test_resume_across_mesh_width_change(tmp_path):
+    """A checkpoint saved under an 8-device mesh must resume under a
+    4-device mesh (users move runs between hosts of different widths):
+    the restore template is mesh-replicated, so orbax re-lays the
+    committed arrays onto whatever mesh the resuming run builds."""
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(_TINY_YAML)
+    _run_single(tmp_path, cfg, ["NAME", "topo", "PICARD.N", "1"])
+
+    out = subprocess.run(
+        [sys.executable, "-m", "deeppicarditeration_tpu.cli", "train",
+         str(cfg), "NAME", "topo", "PICARD.N", "2", "RESUME", "true",
+         "FORCE", "false"],
+        env=_base_env(4), cwd=tmp_path, capture_output=True, text=True,
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "RESUME: continuing from iteration 1" in out.stdout
+    assert _load_leaves(tmp_path / "topo" / "model_2")
+
+
 _PINN_YAML = """
 NAME: mp_pinn
 FORCE: true
