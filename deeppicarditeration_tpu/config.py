@@ -305,6 +305,12 @@ def default_cfg() -> Config:
     # work — the measured choice for MXU-bound wide nets like the HJB
     # 4x512 PISGradNet) | highest (full f32).
     c.DATA.TPU.PALLAS_PRECISION = "bf16x3"
+    # In-kernel activation storage for the merged kernel's frozen net:
+    # null = f32 | bf16 (flax compute-dtype bf16 on the Dense layers —
+    # halves the activation/vjp-residual VMEM share so wide nets admit
+    # larger batch tiles; only meaningful with PALLAS_PRECISION default,
+    # where the dot operands are bf16 on the MXU anyway).
+    c.DATA.TPU.PALLAS_ACT = None
     # Baseline K-step path rollouts: fused in-kernel-PRNG+cumsum Pallas
     # path generator (ops/rollout.py). Off: closed-form XLA draw+cumsum
     # (already scan-free; measured on-par — see rollout.py docstring).

@@ -15,13 +15,51 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+def _elu_bf16_impl(x):
+    # compare and exp in f32: Mosaic (v5e) rejects arith.cmpf on bf16
+    # vectors ("Target does not support this comparison")
+    xf = x.astype(jnp.float32)
+    pos = xf > 0.0
+    y = jnp.where(pos, xf, jnp.exp(jnp.where(pos, 0.0, xf)) - 1.0)
+    return y.astype(jnp.bfloat16), pos
+
+
+@jax.custom_vjp
+def _elu_bf16(x):
+    return _elu_bf16_impl(x)[0]
+
+
+def _elu_bf16_fwd(x):
+    y, pos = _elu_bf16_impl(x)
+    return y, (y, pos)
+
+
+def _elu_bf16_bwd(res, g):
+    y, pos = res
+    # elu'(x) = 1 for x > 0 else elu(x) + 1; residuals stay bf16 — the
+    # point of the pallas_act policy (f32 exp residuals would put the
+    # width-sized buffers back)
+    return (g * jnp.where(pos, jnp.ones_like(y), y + 1.0),)
+
+
+_elu_bf16.defvjp(_elu_bf16_fwd, _elu_bf16_bwd)
+
+
 def _elu(x):
     """ELU via exp, not jax.nn.elu's expm1: Mosaic (Pallas TPU) has no
     expm1 lowering, and the frozen net is traced INTO the fused integral
     kernel (ops/pallas_kernels.py). f32 deviation from expm1 is ~1 ulp
     near 0 — orders of magnitude below MC estimator noise.
 
-    jnp.where on the exp argument too, so the gradient has no inf * 0."""
+    jnp.where on the exp argument too, so the gradient has no inf * 0.
+
+    bf16 inputs (the pallas_act bf16 activation policy) dispatch to a
+    custom-vjp variant that compares/exps in f32 (Mosaic has no bf16
+    cmpf) while storing only bf16 residuals. It is reverse-mode-only;
+    the policy applies solely to the frozen net inside the merged
+    kernel, which takes exactly one vjp."""
+    if x.dtype == jnp.bfloat16:
+        return _elu_bf16(x)
     safe = jnp.where(x > 0, 0.0, x)
     return jnp.where(x > 0, x, jnp.exp(safe) - 1.0)
 
@@ -63,16 +101,26 @@ class MLP(nn.Module):
     # Mosaic body where precision=HIGH does not lower (see
     # ops/pallas_kernels.py:bf16x3_dot_general). None => lax.dot_general.
     dot_general: Optional[Callable] = None
+    # Compute dtype for the Dense layers (flax semantics: inputs and params
+    # are cast to it). None => promote from inputs (f32). bf16 halves the
+    # activation/residual working set where this module is traced into a
+    # VMEM-resident Pallas body (DATA.TPU.PALLAS_ACT); output is cast back
+    # to the input dtype.
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, tx):
         h = tx
         assert len(self.neurons) == len(self.activations)
         dg = {} if self.dot_general is None else {"dot_general": self.dot_general}
+        if self.dtype is not None:
+            dg["dtype"] = self.dtype
         for width, act in zip(self.neurons, self.activations):
             h = nn.Dense(width, param_dtype=self.param_dtype, **dg)(h)
             h = get_activation(act)(h)
         h = nn.Dense(self.out_dim, param_dtype=self.param_dtype, **dg)(h)
+        if self.dtype is not None:
+            h = h.astype(tx.dtype)
         if self.bound is not None:
             assert self.bound > 0
             h = jnp.clip(h, -self.bound, self.bound)
@@ -97,6 +145,10 @@ class PISGradNet(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     # see MLP.dot_general (bf16x3 swap for in-kernel tracing)
     dot_general: Optional[Callable] = None
+    # see MLP.dtype (bf16 compute for in-kernel tracing). The terminal
+    # mix (g0 residual, exp decay) stays in the input dtype: bf16 * f32
+    # promotes, so the module's output remains f32.
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.timestep_phase = self.param(
@@ -109,6 +161,8 @@ class PISGradNet(nn.Module):
         step = (100.0 - 0.1) / max(self.channels - 1, 1)
         self.timestep_coeff = 0.1 + idx.astype(self.param_dtype) * step
         dg = {} if self.dot_general is None else {"dot_general": self.dot_general}
+        if self.dtype is not None:
+            dg["dtype"] = self.dtype
         self.t_encoder = [nn.Dense(self.channels, param_dtype=self.param_dtype,
                                    **dg)
                           for _ in range(2)]

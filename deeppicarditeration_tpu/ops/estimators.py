@@ -122,6 +122,15 @@ class GenConfig:
     # unchanged, e.g. HJB 4x512 — see BASELINE.md), or "highest" (full
     # f32, 6-pass).
     pallas_precision: str = "bf16x3"
+    # In-kernel activation storage for the merged kernel's frozen net:
+    # None = f32, "bf16" = the net's Dense layers compute in bf16 (flax
+    # dtype), halving the activation/vjp-residual share of the VMEM
+    # working set so wide nets admit larger batch tiles. Only meaningful
+    # with pallas_precision="default" (the dot operands are cast to bf16
+    # on the MXU either way; the elementwise ops between layers see
+    # rounded inputs — measured 0.39% relative delta on the HJB get_f,
+    # ~4x below the M=4096 MC noise). DATA.TPU.PALLAS_ACT.
+    pallas_act: Optional[str] = None
     # Device mesh for the kernel paths: a pallas_call has no SPMD
     # partitioning rule, so on a multi-device mesh the merged kernel is
     # wrapped in jax.shard_map over ``mesh_axis`` (per-device tiles,
@@ -130,6 +139,17 @@ class GenConfig:
     # shards cleanly under pjit on its own).
     mesh: Optional[object] = None  # jax.sharding.Mesh (hashable, static)
     mesh_axis: str = "data"
+
+    @property
+    def act_dtype(self):
+        """jnp dtype for pallas_act, or None."""
+        if self.pallas_act is None:
+            return None
+        if str(self.pallas_act) == "bf16":
+            return jnp.bfloat16
+        raise ValueError(
+            f"DATA.TPU.PALLAS_ACT must be null or 'bf16', got "
+            f"{self.pallas_act!r}")
 
     def chunk(self, m: int, batch: int, nx: int) -> int:
         """Largest divisor of m with batch * chunk * nx <= chunk_elems
@@ -734,7 +754,8 @@ def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
 
         spec = pick_generate_tile(eq, sol, sol.nx, b_local,
                                   antithetic=gen.antithetic,
-                                  mxu_precision=gen.pallas_precision)
+                                  mxu_precision=gen.pallas_precision,
+                                  act_dtype=gen.act_dtype)
     if spec is None or sublane_tile(b_local, spec[0]) is None:
         if mode is True and spec is not None:
             _notice_forced_fallback(
@@ -785,13 +806,13 @@ def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
                     axis=gen.mesh_axis, tile_b=tile,
                     antithetic=gen.antithetic,
                     mxu_precision=gen.pallas_precision,
-                    split_chains=split, **ext)
+                    split_chains=split, act_dtype=gen.act_dtype, **ext)
             return generate_with_gradients_pallas(
                 seed_from_key(key, 2), eq, sol, tx,
                 gen.n_estimate_terminal, tile_b=tile,
                 antithetic=gen.antithetic,
                 mxu_precision=gen.pallas_precision,
-                split_chains=split, **ext)
+                split_chains=split, act_dtype=gen.act_dtype, **ext)
     if gen.estimate_delta_t > 0:
         if sol.output_dim == 1:
             g = estimate_terminal_with_gradients_td(k1, eq, sol, tx, gen)

@@ -223,15 +223,70 @@ def _rebind_statics(sol_statics, eq_in):
     return sol_statics
 
 
-def _sol_statics(sol, mxu_precision):
+def _bf16_acc(u, v, dimension_numbers):
+    return jax.lax.dot_general(
+        u, v, dimension_numbers, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bf16_acc_dense_dot(a, b, dimension_numbers):
+    return _bf16_acc(a, b, dimension_numbers)
+
+
+def _bf16_acc_fwd(a, b, dimension_numbers):
+    return _bf16_acc(a, b, dimension_numbers), (a, b)
+
+
+def _bf16_acc_bwd(dimension_numbers, res, g):
+    # Specialised to the nn.Dense contraction (see _bf16x3_bwd).
+    (contract, batch) = dimension_numbers
+    assert batch == ((), ()) and contract[1] == (0,), (
+        "bf16-acc dot_general only supports the Dense (..., K) @ (K, N) "
+        f"pattern, got {dimension_numbers}")
+    a, b = res
+    da = _bf16_acc(g, b, (((g.ndim - 1,), (1,)), ((), ())))
+    a2 = a.reshape((-1, a.shape[-1]))
+    g2 = g.reshape((-1, g.shape[-1]))
+    db = _bf16_acc(a2, g2, (((0,), (0,)), ((), ())))
+    return da, db
+
+
+_bf16_acc_dense_dot.defvjp(_bf16_acc_fwd, _bf16_acc_bwd)
+
+
+def bf16_acc_dot_general(a, b, dimension_numbers, precision=None,
+                         preferred_element_type=None):
+    """Drop-in ``dot_general`` for nn.Dense under the bf16 activation
+    policy (pallas_act): bf16-operand dots with f32 MXU accumulation,
+    cast back to bf16.
+
+    Mosaic rejects a bf16-OUTPUT tpu.matmul ("Expected matmul acc" —
+    the MXU accumulates f32), so flax dtype=bf16 cannot use the stock
+    lax.dot_general in a Pallas body. The custom VJP keeps the backward
+    dots single-pass bf16 too (the plain transpose rule would promote
+    the f32 cast cotangent into a 6-pass f32 matmul) and stores only
+    bf16 residuals — the point of the policy."""
+    return _bf16_acc_dense_dot(a, b, dimension_numbers)
+
+
+def _sol_statics(sol, mxu_precision, act_dtype=None):
     """Solution static fields for in-kernel reconstruction. For
     mxu_precision="bf16x3" the module's dots are swapped for the 3-pass
     emulation (modules without a dot_general knob keep their dots and
-    rely on the trace-time default precision instead)."""
+    rely on the trace-time default precision instead). ``act_dtype``
+    (e.g. jnp.bfloat16) sets the module's Dense compute dtype so the
+    in-kernel activations/vjp residuals are stored at half width —
+    only meaningful with 1-pass dots (mxu_precision="default"), where
+    the operands are cast to bf16 on the MXU anyway."""
     module = sol.module
     if (mxu_precision == "bf16x3" and module is not None
             and hasattr(module, "dot_general")):
         module = module.clone(dot_general=bf16x3_dot_general)
+    if (act_dtype is not None and module is not None
+            and hasattr(module, "dtype")):
+        module = module.clone(dtype=act_dtype,
+                              dot_general=bf16_acc_dot_general)
     return dict(module=module, kind=sol.kind, net_type=sol.net_type,
                 nx=sol.nx, gfn=sol.gfn)
 
@@ -243,7 +298,7 @@ _VMEM_BUDGET_BYTES = 12 * 2 ** 20
 
 
 def generate_vmem_bytes(eq, sol, nx: int, tile_b: int = 128,
-                        mblk: int = 8) -> int:
+                        mblk: int = 8, act_bytes: int = 4) -> int:
     """Rough VMEM working-set estimate for the merged dual-estimator
     kernel (``generate_with_gradients_pallas``).
 
@@ -257,19 +312,25 @@ def generate_vmem_bytes(eq, sol, nx: int, tile_b: int = 128,
     (Burgers/Cha/FN frozen net) estimates ~7 MB and compiles; the 4x512
     PISGradNet estimates ~24 MB and genuinely overflows Mosaic VMEM
     allocation. The gate at 12 MB separates them with headroom.
+
+    ``act_bytes`` = 2 models the bf16 activation policy (pallas_act):
+    the frozen net's per-row activations/vjp residuals halve while the
+    sample buffers (dW/X_s) and accumulator stay f32.
     """
     nx_pad = _round_up(nx, LANE)
     cap_arrs, _, _ = _flatten_captured((eq, sol.params))
     params_bytes = sum(int(a.size) * 4 for a in cap_arrs)
     widths = sum(int(a.shape[-1]) for a in cap_arrs if a.ndim >= 2)
     rows = tile_b * mblk
-    act_bytes = rows * 4 * (3 * nx_pad + 2 * widths + 2 * (1 + nx_pad))
-    return params_bytes + act_bytes + tile_b * (1 + nx_pad) * 4
+    buf_bytes = rows * (4 * (3 * nx_pad + 2 * (1 + nx_pad))
+                        + act_bytes * 2 * widths)
+    return params_bytes + buf_bytes + tile_b * (1 + nx_pad) * 4
 
 
 def generate_fits_vmem(eq, sol, nx: int, tile_b: int = 128,
-                       mblk: int = 8) -> bool:
-    return generate_vmem_bytes(eq, sol, nx, tile_b, mblk) <= _VMEM_BUDGET_BYTES
+                       mblk: int = 8, act_bytes: int = 4) -> bool:
+    return (generate_vmem_bytes(eq, sol, nx, tile_b, mblk, act_bytes)
+            <= _VMEM_BUDGET_BYTES)
 
 
 # Wide nets that bottom out at tile 16 can take tile 32 with the
@@ -288,14 +349,16 @@ _VMEM_SPLIT_BUDGET_BYTES = 17 * 2 ** 20
 _VMEM_SPLIT_MAX_PARAM_BYTES = 8 * 2 ** 20
 
 
-def _heuristic_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8):
+def _heuristic_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
+                             act_bytes: int = 4):
     """Two-point-calibrated VMEM estimate -> preferred (tile, split)."""
     for tile in (128, 64, 32, 16):
-        if b % tile == 0 and generate_fits_vmem(eq, sol, nx, tile, mblk):
+        if b % tile == 0 and generate_fits_vmem(eq, sol, nx, tile, mblk,
+                                                act_bytes):
             if tile == 16 and b % 32 == 0:
                 cap_arrs, _, _ = _flatten_captured((eq, sol.params))
                 params_bytes = sum(int(a.size) * 4 for a in cap_arrs)
-                if (generate_vmem_bytes(eq, sol, nx, 32, mblk)
+                if (generate_vmem_bytes(eq, sol, nx, 32, mblk, act_bytes)
                         <= _VMEM_SPLIT_BUDGET_BYTES
                         and params_bytes <= _VMEM_SPLIT_MAX_PARAM_BYTES):
                     return 32, True
@@ -312,7 +375,8 @@ _TRIAL_COMPILE_CACHE: dict = {}
 
 def _trial_compile_ok(eq, sol, nx: int, tile: int, split: bool,
                       mblk: int, antithetic: bool,
-                      mxu_precision: str | None = "bf16x3") -> bool:
+                      mxu_precision: str | None = "bf16x3",
+                      act_dtype=None) -> bool:
     """Does the merged kernel actually compile at this tile?
 
     The VMEM estimate is calibrated on two known nets and has no
@@ -327,7 +391,7 @@ def _trial_compile_ok(eq, sol, nx: int, tile: int, split: bool,
     """
     leaves, treedef = jax.tree_util.tree_flatten((eq, sol))
     sig = (treedef, tuple(jnp.shape(l) for l in leaves), nx, tile, split,
-           mblk, antithetic, mxu_precision)
+           mblk, antithetic, mxu_precision, act_dtype)
     try:
         hash(sig)
         cached = _TRIAL_COMPILE_CACHE.get(sig)
@@ -354,7 +418,7 @@ def _trial_compile_ok(eq, sol, nx: int, tile: int, split: bool,
         return generate_with_gradients_pallas(
             0, e, s, tx, mblk, tile_b=tile, mblk=mblk,
             antithetic=antithetic, mxu_precision=mxu_precision,
-            split_chains=split, **ext)
+            split_chains=split, act_dtype=act_dtype, **ext)
 
     try:
         jax.jit(run).lower(abstract, tx_abs, ext_abs).compile()
@@ -370,7 +434,8 @@ def _trial_compile_ok(eq, sol, nx: int, tile: int, split: bool,
 
 def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
                        antithetic: bool = False, trial: bool = True,
-                       mxu_precision: str | None = "bf16x3"):
+                       mxu_precision: str | None = "bf16x3",
+                       act_dtype=None):
     """(tile, split_chains) for the merged kernel, or None for XLA.
 
     Largest batch tile (<= 128, dividing b) whose estimated working set
@@ -385,19 +450,29 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
     on nets where bf16x3 fits); a mispredicting estimate walks down to
     smaller tiles and ultimately to the XLA path instead of failing at
     runtime. ``trial=False`` skips the confirmation (unit tests of the
-    estimate)."""
-    preferred = _heuristic_generate_tile(eq, sol, nx, b, mblk)
+    estimate). ``act_dtype=jnp.bfloat16`` (pallas_act) halves the
+    activation share of the VMEM estimate and is threaded into the trial
+    compile."""
+    act_bytes = 2 if act_dtype == jnp.bfloat16 else 4
+    preferred = _heuristic_generate_tile(eq, sol, nx, b, mblk, act_bytes)
     if preferred is None:
         return None
     if not trial:
         return preferred
     candidates = [preferred]
+    if not preferred[1]:
+        # split retires the terminal chain's transients before the
+        # integral chain's liveness peak — a merged-reject tile can
+        # still compile split (the measured HJB pick is 32/split)
+        candidates.append((preferred[0], True))
     for tile in (64, 32, 16):
         if tile < preferred[0] and b % tile == 0:
             candidates.append((tile, False))
+            candidates.append((tile, True))
     for tile, split in candidates:
         if _trial_compile_ok(eq, sol, nx, tile, split, mblk, antithetic,
-                             mxu_precision=mxu_precision):
+                             mxu_precision=mxu_precision,
+                             act_dtype=act_dtype):
             return tile, split
     return None
 
@@ -804,7 +879,9 @@ def generate_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
                                    noise_i: jnp.ndarray | None = None,
                                    interpret: bool | None = None,
                                    mxu_precision: str | None = None,
-                                   split_chains: bool = False):
+                                   split_chains: bool = False,
+                                   act_dtype=None,
+                                   vmem_limit_bytes: int | None = None):
     """Merged-drop-in for generate_with_gradients (terminal + integral in
     one fused VMEM kernel; see _generate_kernel). ``m`` is the shared
     per-point sample count for both estimators. ``split_chains`` lowers
@@ -813,7 +890,9 @@ def generate_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
     ``mxu_precision`` pins the matmul precision of the in-kernel
     frozen-net dots regardless of the caller's trace-time default
     ("high" = 3-pass bf16, max |Δ| ~2e-5 vs full f32 on the 100-d
-    Burgers targets — accuracy-equivalent; see PRECISION.md)."""
+    Burgers targets — accuracy-equivalent; see PRECISION.md).
+    ``act_dtype`` (jnp.bfloat16) halves the frozen net's in-kernel
+    activation/residual storage (see _sol_statics)."""
     from deeppicarditeration_tpu.ops.derivatives import get_f
     from deeppicarditeration_tpu.ops.estimators import _ST_FLOOR
 
@@ -830,7 +909,7 @@ def generate_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
     g0 = eq.g(x)
     f0 = get_f(eq, sol, t, x)
     cap_arrs, cap_shapes, cap_treedef = _flatten_captured((eq, sol.params))
-    sol_statics = _sol_statics(sol, mxu_precision)
+    sol_statics = _sol_statics(sol, mxu_precision, act_dtype)
 
     def g_fn(captured, x_padded):
         eq_in, _ = captured
@@ -880,6 +959,13 @@ def generate_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ]
         args += [u01, jnp.pad(noise_t, pad3), jnp.pad(noise_i, pad3)]
+    extra = {}
+    if vmem_limit_bytes is not None:
+        # Mosaic's DEFAULT scoped-vmem limit is 16 MB — well below the
+        # physical VMEM of a v5e core. Raising it admits larger batch
+        # tiles for wide nets (probe_hjb_act_bf16.py).
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
     out = pl.pallas_call(
         kernel,
         grid=(b // tile,),
@@ -889,6 +975,7 @@ def generate_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, 1 + nx_pad), x.dtype),
         scratch_shapes=[pltpu.VMEM((tile, 1 + nx_pad), jnp.float32)],
         interpret=interpret,
+        **extra,
     )(*args)
     return out[:, :1 + nx]
 
@@ -955,7 +1042,8 @@ def generate_with_gradients_pallas_sharded(seed, eq, sol, tx: jnp.ndarray,
                                            noise_i: jnp.ndarray | None = None,
                                            interpret: bool | None = None,
                                            mxu_precision: str | None = None,
-                                           split_chains: bool = False):
+                                           split_chains: bool = False,
+                                           act_dtype=None):
     """Multi-device merged estimator (see _shard_map_seeded_kernel)."""
 
     def call(seed_l, eq_sol, tx_l, tile, **ext_l):
@@ -963,7 +1051,8 @@ def generate_with_gradients_pallas_sharded(seed, eq, sol, tx: jnp.ndarray,
         return generate_with_gradients_pallas(
             seed_l, eq_in, sol_in, tx_l, m, tile_b=tile, mblk=mblk,
             antithetic=antithetic, interpret=interpret,
-            mxu_precision=mxu_precision, split_chains=split_chains, **ext_l)
+            mxu_precision=mxu_precision, split_chains=split_chains,
+            act_dtype=act_dtype, **ext_l)
 
     return _shard_map_seeded_kernel(
         call, seed, (eq, sol), tx,

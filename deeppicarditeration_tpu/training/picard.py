@@ -155,6 +155,8 @@ def gen_config_from_cfg(cfg, i: int, mesh=None) -> GenConfig:
         pallas_integral=bool(d.TPU.PALLAS_INTEGRAL),
         pallas_generate=_tri_state(d.TPU.PALLAS_GENERATE),
         pallas_precision=str(d.TPU.get("PALLAS_PRECISION", "bf16x3")),
+        pallas_act=(str(d.TPU.PALLAS_ACT).lower()
+                    if d.TPU.get("PALLAS_ACT") else None),
         hess_store=hess_store,
         mesh=mesh,
     )

@@ -325,16 +325,20 @@ def test_pick_generate_tile_trial_compile_fallback(monkeypatch):
     calls = []
 
     def fake_trial(eq_, sol_, nx_, tile, split, mblk, antithetic,
-                   mxu_precision="bf16x3"):
-        calls.append((tile, mxu_precision))
+                   mxu_precision="bf16x3", act_dtype=None):
+        calls.append((tile, split, mxu_precision))
         return tile <= 32  # "Mosaic rejects" 128 and 64
 
     monkeypatch.setattr(pk, "_trial_compile_ok", fake_trial)
     # the trial must compile at the precision the DISPATCH will use:
-    # precisions differ in scoped-vmem footprint (review finding)
+    # precisions differ in scoped-vmem footprint (review finding); a
+    # merged-reject tile retries split before walking down (the measured
+    # HJB pick is 32/split)
     assert pk.pick_generate_tile(eq, small, nx, 4096,
                                  mxu_precision="default") == (32, False)
-    assert calls == [(128, "default"), (64, "default"), (32, "default")]
+    assert calls == [(128, False, "default"), (128, True, "default"),
+                     (64, False, "default"), (64, True, "default"),
+                     (32, False, "default")]
 
     calls.clear()
     monkeypatch.setattr(pk, "_trial_compile_ok",
@@ -367,6 +371,105 @@ def test_tri_state_config_parse():
     assert _tri_state("false") is False
     assert _tri_state("on") is True
     assert _tri_state(0) is False
+
+
+@pytest.mark.parametrize("eq_name", ["Cha", "OUProcessEquation"])
+def test_pallas_generate_merged_act_bf16_close(eq_name, key):
+    """Merged kernel with the bf16 activation policy (pallas_act) tracks
+    the f32 path at bf16 resolution on the same external randomness."""
+    from deeppicarditeration_tpu.ops.pallas_kernels import (
+        generate_with_gradients_pallas,
+    )
+
+    if eq_name == "Cha":
+        eq = make_equation("Cha", nx=5, alpha=1.3, k=1.0, T=1.0)
+    else:
+        eq = make_equation("OUProcessEquation", seed=0, nx=5, alpha=1.0,
+                           T=1.0)
+    nx, b, m = eq.nx, 16, 32
+    kt, kx, kn1, kn2, ku, kp = jax.random.split(key, 6)
+    sol = _frozen_mlp_solution(kp, nx)
+    t = jax.random.uniform(kt, (b, 1)) * 0.8
+    x = jax.random.normal(kx, (b, nx))
+    tx = jnp.concatenate([t, x], axis=-1)
+    noise_t = jax.random.normal(kn1, (b, m, nx))
+    noise_i = jax.random.normal(kn2, (b, m, nx))
+    u01 = jax.random.uniform(ku, (b, m, 1))
+    kw = dict(tile_b=8, mblk=8, u01=u01, noise_t=noise_t, noise_i=noise_i)
+    f32 = generate_with_gradients_pallas(0, eq, sol, tx, m, **kw)
+    bf = generate_with_gradients_pallas(0, eq, sol, tx, m,
+                                        act_dtype=jnp.bfloat16, **kw)
+    assert bf.dtype == f32.dtype
+    scale = float(jnp.max(jnp.abs(f32)))
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(f32),
+                               rtol=0, atol=0.03 * scale)
+
+
+def test_genconfig_act_dtype_parse():
+    from deeppicarditeration_tpu.ops.estimators import GenConfig
+
+    assert GenConfig().act_dtype is None
+    assert GenConfig(pallas_act="bf16").act_dtype == jnp.bfloat16
+    with pytest.raises(ValueError, match="PALLAS_ACT"):
+        GenConfig(pallas_act="fp8").act_dtype
+
+
+def test_vmem_estimate_act_bytes_halves_activations():
+    """act_bytes=2 (pallas_act bf16) shrinks only the width-proportional
+    activation term, admitting larger tiles for wide nets."""
+    from deeppicarditeration_tpu.models.networks import PISGradNet
+    from deeppicarditeration_tpu.ops.pallas_kernels import (
+        generate_vmem_bytes,
+        pick_generate_tile,
+    )
+
+    nx = 100
+    eq_hjb = make_equation("OUProcessEquation", seed=0, nx=nx, alpha=1.0,
+                           T=1.0)
+    big_mod = PISGradNet(hidden_shapes=(512, 512, 512, 512), dim=nx,
+                         g0=eq_hjb.g, T=1.0)
+    big_params = big_mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
+    big = Solution.from_net(big_mod, big_params, "Value", nx)
+    f32_bytes = generate_vmem_bytes(eq_hjb, big, nx, 32)
+    bf_bytes = generate_vmem_bytes(eq_hjb, big, nx, 32, act_bytes=2)
+    assert bf_bytes < f32_bytes
+    spec_f32 = pick_generate_tile(eq_hjb, big, nx, 4096, trial=False)
+    spec_bf = pick_generate_tile(eq_hjb, big, nx, 4096, trial=False,
+                                 act_dtype=jnp.bfloat16)
+    assert spec_bf[0] * (2 - spec_bf[1]) >= spec_f32[0] * (2 - spec_f32[1])
+
+
+def test_bf16_acc_dot_matches_f32_at_bf16_resolution():
+    """The pallas_act dot (bf16 operands, f32 accumulation, custom vjp):
+    fwd and vjp within bf16 resolution of the f32 dot, bf16 outputs."""
+    from deeppicarditeration_tpu.ops.pallas_kernels import (
+        bf16_acc_dot_general,
+    )
+
+    key = jax.random.PRNGKey(5)
+    ka, kb, kg = jax.random.split(key, 3)
+    a = jax.random.normal(ka, (64, 101)).astype(jnp.bfloat16)
+    b = (jax.random.normal(kb, (101, 128)) / 10.0).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+
+    exact = jax.lax.dot_general(a.astype(jnp.float32),
+                                b.astype(jnp.float32), dn,
+                                precision=jax.lax.Precision.HIGHEST)
+    approx = bf16_acc_dot_general(a, b, dn)
+    assert approx.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(approx, np.float32),
+                               np.asarray(exact), rtol=0, atol=0.05)
+
+    g = jax.random.normal(kg, exact.shape).astype(jnp.bfloat16)
+    _, vjp_e = jax.vjp(lambda u, v: jax.lax.dot_general(
+        u.astype(jnp.float32), v.astype(jnp.float32), dn,
+        precision=jax.lax.Precision.HIGHEST), a, b)
+    _, vjp_a = jax.vjp(lambda u, v: bf16_acc_dot_general(u, v, dn), a, b)
+    for e, ap in zip(vjp_e(g.astype(jnp.float32)), vjp_a(g)):
+        assert ap.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(ap, np.float32),
+                                   np.asarray(e, np.float32),
+                                   rtol=0, atol=0.5)
 
 
 def test_bf16x3_dot_matches_f32():
