@@ -742,7 +742,7 @@ def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
             return None
         b_local = b // ndev
     if mode is True:
-        spec = (128, False)
+        spec = (128, False, None)
     else:
         if jax.default_backend() != "tpu":
             return None
@@ -791,7 +791,7 @@ def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
             # equivalent to the PRECISION.MATMUL: highest policy; Mosaic
             # cannot lower precision=HIGH natively). See
             # pallas_kernels.bf16x3_dot_general.
-            tile, split = tile_spec
+            tile, split, vmem_limit = tile_spec
             di = _forced_pallas_draws(k2, tx, gen.n_estimate_integral,
                                       gen.antithetic, with_u01=True)
             dt = _forced_pallas_draws(k1, tx, gen.n_estimate_terminal,
@@ -806,13 +806,15 @@ def generate_with_gradients(key, eq, sol: Solution, tx, gen: GenConfig):
                     axis=gen.mesh_axis, tile_b=tile,
                     antithetic=gen.antithetic,
                     mxu_precision=gen.pallas_precision,
-                    split_chains=split, act_dtype=gen.act_dtype, **ext)
+                    split_chains=split, act_dtype=gen.act_dtype,
+                    vmem_limit_bytes=vmem_limit, **ext)
             return generate_with_gradients_pallas(
                 seed_from_key(key, 2), eq, sol, tx,
                 gen.n_estimate_terminal, tile_b=tile,
                 antithetic=gen.antithetic,
                 mxu_precision=gen.pallas_precision,
-                split_chains=split, act_dtype=gen.act_dtype, **ext)
+                split_chains=split, act_dtype=gen.act_dtype,
+                vmem_limit_bytes=vmem_limit, **ext)
     if gen.estimate_delta_t > 0:
         if sol.output_dim == 1:
             g = estimate_terminal_with_gradients_td(k1, eq, sol, tx, gen)

@@ -348,6 +348,17 @@ def generate_fits_vmem(eq, sol, nx: int, tile_b: int = 128,
 _VMEM_SPLIT_BUDGET_BYTES = 17 * 2 ** 20
 _VMEM_SPLIT_MAX_PARAM_BYTES = 8 * 2 ** 20
 
+# Raised scoped-vmem limit for wide nets: Mosaic's DEFAULT limit is
+# 16 MB — a compiler parameter, far below a v5e core's physical VMEM —
+# and is what every recorded tile-overflow negative result actually hit.
+# At 100 MB the HJB 4x512 PISGradNet compiles tiles 64-256; the best,
+# tile 128 merged, runs 0.804 s vs 0.838 at the old 32/split pick (4%,
+# scripts/probe_vmem_limit.py). The upgrade budget leaves headroom under
+# the limit for Mosaic's own temporaries and double buffering (measured
+# scoped usage at tile 128 is ~44 MB against a ~48 MB estimate).
+_VMEM_LIMIT_BYTES = 100 * 2 ** 20
+_VMEM_RAISED_BUDGET_BYTES = 56 * 2 ** 20
+
 
 def _heuristic_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
                              act_bytes: int = 4):
@@ -376,7 +387,8 @@ _TRIAL_COMPILE_CACHE: dict = {}
 def _trial_compile_ok(eq, sol, nx: int, tile: int, split: bool,
                       mblk: int, antithetic: bool,
                       mxu_precision: str | None = "bf16x3",
-                      act_dtype=None) -> bool:
+                      act_dtype=None,
+                      vmem_limit_bytes: int | None = None) -> bool:
     """Does the merged kernel actually compile at this tile?
 
     The VMEM estimate is calibrated on two known nets and has no
@@ -391,7 +403,7 @@ def _trial_compile_ok(eq, sol, nx: int, tile: int, split: bool,
     """
     leaves, treedef = jax.tree_util.tree_flatten((eq, sol))
     sig = (treedef, tuple(jnp.shape(l) for l in leaves), nx, tile, split,
-           mblk, antithetic, mxu_precision, act_dtype)
+           mblk, antithetic, mxu_precision, act_dtype, vmem_limit_bytes)
     try:
         hash(sig)
         cached = _TRIAL_COMPILE_CACHE.get(sig)
@@ -418,7 +430,8 @@ def _trial_compile_ok(eq, sol, nx: int, tile: int, split: bool,
         return generate_with_gradients_pallas(
             0, e, s, tx, mblk, tile_b=tile, mblk=mblk,
             antithetic=antithetic, mxu_precision=mxu_precision,
-            split_chains=split, act_dtype=act_dtype, **ext)
+            split_chains=split, act_dtype=act_dtype,
+            vmem_limit_bytes=vmem_limit_bytes, **ext)
 
     try:
         jax.jit(run).lower(abstract, tx_abs, ext_abs).compile()
@@ -452,28 +465,45 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
     runtime. ``trial=False`` skips the confirmation (unit tests of the
     estimate). ``act_dtype=jnp.bfloat16`` (pallas_act) halves the
     activation share of the VMEM estimate and is threaded into the trial
-    compile."""
+    compile.
+
+    Returns ``(tile, split_chains, vmem_limit_bytes|None)``: wide nets
+    whose default-limit pick bottoms out below tile 128 are upgraded to
+    the largest merged tile fitting the raised-limit budget (see
+    _VMEM_LIMIT_BYTES; measured 4% on the HJB PISGradNet), with the
+    default-limit pick and the old ladder as trial-confirmed fallbacks.
+    """
     act_bytes = 2 if act_dtype == jnp.bfloat16 else 4
-    preferred = _heuristic_generate_tile(eq, sol, nx, b, mblk, act_bytes)
-    if preferred is None:
+    base = _heuristic_generate_tile(eq, sol, nx, b, mblk, act_bytes)
+    candidates = []
+    base_tile = base[0] if base else 0
+    for tile in (128, 64):
+        if (tile > base_tile and b % tile == 0
+                and generate_vmem_bytes(eq, sol, nx, tile, mblk, act_bytes)
+                <= _VMEM_RAISED_BUDGET_BYTES):
+            candidates.append((tile, False, _VMEM_LIMIT_BYTES))
+            candidates.append((tile, True, _VMEM_LIMIT_BYTES))
+            break
+    if base is not None:
+        candidates.append((base[0], base[1], None))
+        if not base[1]:
+            # split retires the terminal chain's transients before the
+            # integral chain's liveness peak — a merged-reject tile can
+            # still compile split (the old measured HJB pick is 32/split)
+            candidates.append((base[0], True, None))
+        for tile in (64, 32, 16):
+            if tile < base[0] and b % tile == 0:
+                candidates.append((tile, False, None))
+                candidates.append((tile, True, None))
+    if not candidates:
         return None
     if not trial:
-        return preferred
-    candidates = [preferred]
-    if not preferred[1]:
-        # split retires the terminal chain's transients before the
-        # integral chain's liveness peak — a merged-reject tile can
-        # still compile split (the measured HJB pick is 32/split)
-        candidates.append((preferred[0], True))
-    for tile in (64, 32, 16):
-        if tile < preferred[0] and b % tile == 0:
-            candidates.append((tile, False))
-            candidates.append((tile, True))
-    for tile, split in candidates:
+        return candidates[0]
+    for tile, split, lim in candidates:
         if _trial_compile_ok(eq, sol, nx, tile, split, mblk, antithetic,
                              mxu_precision=mxu_precision,
-                             act_dtype=act_dtype):
-            return tile, split
+                             act_dtype=act_dtype, vmem_limit_bytes=lim):
+            return tile, split, lim
     return None
 
 
@@ -1043,7 +1073,8 @@ def generate_with_gradients_pallas_sharded(seed, eq, sol, tx: jnp.ndarray,
                                            interpret: bool | None = None,
                                            mxu_precision: str | None = None,
                                            split_chains: bool = False,
-                                           act_dtype=None):
+                                           act_dtype=None,
+                                           vmem_limit_bytes: int | None = None):
     """Multi-device merged estimator (see _shard_map_seeded_kernel)."""
 
     def call(seed_l, eq_sol, tx_l, tile, **ext_l):
@@ -1052,7 +1083,7 @@ def generate_with_gradients_pallas_sharded(seed, eq, sol, tx: jnp.ndarray,
             seed_l, eq_in, sol_in, tx_l, m, tile_b=tile, mblk=mblk,
             antithetic=antithetic, interpret=interpret,
             mxu_precision=mxu_precision, split_chains=split_chains,
-            act_dtype=act_dtype, **ext_l)
+            act_dtype=act_dtype, vmem_limit_bytes=vmem_limit_bytes, **ext_l)
 
     return _shard_map_seeded_kernel(
         call, seed, (eq, sol), tx,

@@ -15,7 +15,10 @@ import time
 import jax
 import numpy as np
 
-_ENABLED = bool(os.environ.get("DPI_PROFILE"))
+# "0"/"false"/"" disable: DPI_PROFILE=0 blocking per-stage syncs in a
+# benchmark run is exactly the accident the falsy spellings invite
+_ENABLED = os.environ.get("DPI_PROFILE", "").strip().lower() not in (
+    "", "0", "false", "off", "no")
 _TRACE_DIR = os.environ.get("DPI_TRACE_DIR")
 
 

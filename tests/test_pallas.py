@@ -283,11 +283,13 @@ def test_use_pallas_generate_tri_state():
     sol = _mlp_solution(nx, (8, 8))
     on_tpu = (jax.default_backend() == "tpu" and len(jax.devices()) == 1)
     mk = lambda mode: est.GenConfig(pallas_generate=mode)
-    assert est._pallas_generate_tile(mk(True), eq, sol, 256) == (128, False)
+    assert est._pallas_generate_tile(mk(True), eq, sol, 256) == (128, False,
+                                                                 None)
     assert est._pallas_generate_tile(mk(False), eq, sol, 256) is None
     # "auto" requires the real single-device TPU backend
     spec = est._pallas_generate_tile(mk("auto"), eq, sol, 256)
-    assert (spec == (128, False)) is on_tpu and (spec is None) is not on_tpu
+    assert (spec == (128, False, None)) is on_tpu
+    assert (spec is None) is not on_tpu
 
 
 def test_pick_generate_tile_by_net_size():
@@ -297,7 +299,9 @@ def test_pick_generate_tile_by_net_size():
     nx = 100
     eq = make_equation("Cha", nx=nx, alpha=1.0, k=5.0, T=1.0)
     small = _mlp_solution(nx, (128, 128, 128, 128))
-    assert pick_generate_tile(eq, small, nx, 4096) == (128, False)
+    # small net: default-limit tile 128, NO raised limit (the shipped
+    # Burgers pick is bitwise-stable across the raised-limit feature)
+    assert pick_generate_tile(eq, small, nx, 4096) == (128, False, None)
 
     eq_hjb = make_equation("OUProcessEquation", seed=0, nx=nx, alpha=1.0,
                            T=1.0)
@@ -306,9 +310,15 @@ def test_pick_generate_tile_by_net_size():
     big_params = big_mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
     big = Solution.from_net(big_mod, big_params, "Value", nx)
     spec = pick_generate_tile(eq_hjb, big, nx, 4096)
-    # wide net: reduced tile, upgraded to tile-32 split_chains (measured
-    # 5.6% over merged tile 16; probe_hjb_tiles.py)
-    assert spec == (32, True)
+    # wide net: upgraded to tile 128 merged at the RAISED scoped-vmem
+    # limit (measured 4% over the old 32/split pick;
+    # probe_vmem_limit.py); off-TPU the trial lowers in interpret mode,
+    # which accepts the first candidate
+    from deeppicarditeration_tpu.ops import pallas_kernels as pk
+    assert spec == (128, False, pk._VMEM_LIMIT_BYTES)
+    # the default-limit fallback (what the trial walk-down reaches if
+    # Mosaic rejects the raised candidates) is the old measured pick
+    assert pk._heuristic_generate_tile(eq_hjb, big, nx, 4096) == (32, True)
 
 
 def test_pick_generate_tile_trial_compile_fallback(monkeypatch):
@@ -325,7 +335,8 @@ def test_pick_generate_tile_trial_compile_fallback(monkeypatch):
     calls = []
 
     def fake_trial(eq_, sol_, nx_, tile, split, mblk, antithetic,
-                   mxu_precision="bf16x3", act_dtype=None):
+                   mxu_precision="bf16x3", act_dtype=None,
+                   vmem_limit_bytes=None):
         calls.append((tile, split, mxu_precision))
         return tile <= 32  # "Mosaic rejects" 128 and 64
 
@@ -335,7 +346,8 @@ def test_pick_generate_tile_trial_compile_fallback(monkeypatch):
     # merged-reject tile retries split before walking down (the measured
     # HJB pick is 32/split)
     assert pk.pick_generate_tile(eq, small, nx, 4096,
-                                 mxu_precision="default") == (32, False)
+                                 mxu_precision="default") == (32, False,
+                                                              None)
     assert calls == [(128, False, "default"), (128, True, "default"),
                      (64, False, "default"), (64, True, "default"),
                      (32, False, "default")]

@@ -304,7 +304,7 @@ def test_merged_kernel_guard_on_degenerate_batch():
     sol = Solution.zero(3, "Value")
     gen = est.GenConfig(pallas_generate=True)
     assert est._pallas_generate_tile(gen, eq, sol, 12) is None
-    assert est._pallas_generate_tile(gen, eq, sol, 128) == (128, False)
+    assert est._pallas_generate_tile(gen, eq, sol, 128) == (128, False, None)
 
 
 # ---------------------------------------------------------------------------
