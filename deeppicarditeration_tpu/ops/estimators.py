@@ -716,13 +716,14 @@ def _mesh_ndev(gen: GenConfig) -> Optional[int]:
 
 def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
     """Resolve the pallas_generate tri-state (False / True / "auto") to
-    a (batch tile, split_chains) pair for the merged kernel, or None for
-    the XLA path.
+    a (batch tile, split_chains, vmem_limit_bytes|None) spec for the
+    merged kernel, or None for the XLA path.
 
     "auto" takes the merged kernel only on the real TPU backend (the CPU
     Pallas interpreter stubs the hardware PRNG to zeros) and only at the
-    largest tile whose working set fits the VMEM budget (wide nets get
-    smaller tiles or the split_chains upgrade; see
+    largest tile whose working set fits the VMEM budget (wide nets are
+    upgraded to big merged tiles at the raised scoped-vmem limit, with
+    split_chains/small-tile fallbacks; see
     pallas_kernels.pick_generate_tile). Multi-device: a pallas_call has
     no SPMD partitioning rule, so the kernel requires ``gen.mesh`` to
     shard_map over (tile picked against the PER-DEVICE batch); without a

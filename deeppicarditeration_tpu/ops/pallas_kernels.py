@@ -185,10 +185,11 @@ def _bf16x3_fwd(a, b, dimension_numbers):
 def _bf16x3_bwd(dimension_numbers, res, g):
     # Specialised to the nn.Dense contraction: a (..., K) @ b (K, N).
     (contract, batch) = dimension_numbers
-    assert batch == ((), ()) and contract[1] == (0,), (
+    a, b = res
+    assert (batch == ((), ()) and contract[1] == (0,)
+            and contract[0] == (a.ndim - 1,)), (
         "bf16x3 dot_general only supports the Dense (..., K) @ (K, N) "
         f"pattern, got {dimension_numbers}")
-    a, b = res
     # da = g @ b^T : contract g's last dim with b's output dim
     da = _split3(g, b, (((g.ndim - 1,), (1,)), ((), ())))
     # db = a^T @ g : contract the flattened leading dims
@@ -241,10 +242,11 @@ def _bf16_acc_fwd(a, b, dimension_numbers):
 def _bf16_acc_bwd(dimension_numbers, res, g):
     # Specialised to the nn.Dense contraction (see _bf16x3_bwd).
     (contract, batch) = dimension_numbers
-    assert batch == ((), ()) and contract[1] == (0,), (
+    a, b = res
+    assert (batch == ((), ()) and contract[1] == (0,)
+            and contract[0] == (a.ndim - 1,)), (
         "bf16-acc dot_general only supports the Dense (..., K) @ (K, N) "
         f"pattern, got {dimension_numbers}")
-    a, b = res
     da = _bf16_acc(g, b, (((g.ndim - 1,), (1,)), ((), ())))
     a2 = a.reshape((-1, a.shape[-1]))
     g2 = g.reshape((-1, g.shape[-1]))
@@ -280,6 +282,15 @@ def _sol_statics(sol, mxu_precision, act_dtype=None):
     only meaningful with 1-pass dots (mxu_precision="default"), where
     the operands are cast to bf16 on the MXU anyway."""
     module = sol.module
+    if act_dtype is not None and mxu_precision in ("bf16x3", "highest"):
+        # the act clone replaces the module's dot_general with the
+        # 1-pass bf16_acc dot: combining it with bf16x3/highest would
+        # SILENTLY downgrade the configured dot precision (None means
+        # "trace-time default", which IS single-pass)
+        raise ValueError(
+            "pallas_act bf16 requires pallas_precision='default' "
+            f"(got {mxu_precision!r}): the bf16 activation policy's "
+            "dots are single-pass by construction")
     if (mxu_precision == "bf16x3" and module is not None
             and hasattr(module, "dot_general")):
         module = module.clone(dot_general=bf16x3_dot_general)
@@ -291,9 +302,11 @@ def _sol_statics(sol, mxu_precision, act_dtype=None):
                 nx=sol.nx, gfn=sol.gfn)
 
 
-# VMEM budget for the auto-dispatch fit check. A v5e core has ~16 MB of
-# VMEM; Mosaic needs headroom for double-buffered input/output blocks and
-# its own temporaries, so the working-set estimate is gated well below.
+# VMEM budget for the auto-dispatch fit check against Mosaic's DEFAULT
+# 16 MB scoped-vmem LIMIT (a compiler parameter — physical v5e VMEM is
+# far larger; see _VMEM_LIMIT_BYTES for the raised-limit upgrade path).
+# Mosaic needs headroom for double-buffered input/output blocks and its
+# own temporaries, so the working-set estimate is gated well below.
 _VMEM_BUDGET_BYTES = 12 * 2 ** 20
 
 
@@ -449,7 +462,8 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
                        antithetic: bool = False, trial: bool = True,
                        mxu_precision: str | None = "bf16x3",
                        act_dtype=None):
-    """(tile, split_chains) for the merged kernel, or None for XLA.
+    """(tile, split_chains, vmem_limit_bytes|None) for the merged
+    kernel, or None for the XLA path.
 
     Largest batch tile (<= 128, dividing b) whose estimated working set
     fits the VMEM budget. Small nets (4x128 MLP) get tile 128 merged;
@@ -473,6 +487,12 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
     _VMEM_LIMIT_BYTES; measured 4% on the HJB PISGradNet), with the
     default-limit pick and the old ladder as trial-confirmed fallbacks.
     """
+    if act_dtype is not None and not (sol.module is not None
+                                      and hasattr(sol.module, "dtype")):
+        # _sol_statics will no-op on a module without the dtype knob:
+        # the kernel stores f32 activations, so size the estimate (and
+        # the trial signature) accordingly
+        act_dtype = None
     act_bytes = 2 if act_dtype == jnp.bfloat16 else 4
     base = _heuristic_generate_tile(eq, sol, nx, b, mblk, act_bytes)
     candidates = []
@@ -483,7 +503,6 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
                 <= _VMEM_RAISED_BUDGET_BYTES):
             candidates.append((tile, False, _VMEM_LIMIT_BYTES))
             candidates.append((tile, True, _VMEM_LIMIT_BYTES))
-            break
     if base is not None:
         candidates.append((base[0], base[1], None))
         if not base[1]:

@@ -137,6 +137,21 @@ def gen_config_from_cfg(cfg, i: int, mesh=None) -> GenConfig:
         raise ValueError(
             f"DATA.TPU.HESSIAN_STORE must be null or 'bf16', got "
             f"{d.TPU.HESSIAN_STORE!r}")
+    pallas_act = (str(d.TPU.PALLAS_ACT).lower()
+                  if d.TPU.get("PALLAS_ACT") else None)
+    if pallas_act not in (None, "bf16"):
+        # eager: the lazy GenConfig.act_dtype check is only reached on
+        # the TPU merged-kernel dispatch, so a typo would pass silently
+        # on CPU or non-kernel paths
+        raise ValueError(
+            f"DATA.TPU.PALLAS_ACT must be null or 'bf16', got "
+            f"{d.TPU.PALLAS_ACT!r}")
+    if (pallas_act is not None
+            and str(d.TPU.get("PALLAS_PRECISION", "bf16x3")) != "default"):
+        raise ValueError(
+            "DATA.TPU.PALLAS_ACT: bf16 requires DATA.TPU.PALLAS_PRECISION:"
+            " default (the bf16 activation policy's dots are single-pass"
+            " by construction)")
     return GenConfig(
         n_estimate_terminal=int(kwargs.get("n_estimate_terminal", 1)),
         n_estimate_integral=int(kwargs.get("n_estimate_integral", 1)),
@@ -155,8 +170,7 @@ def gen_config_from_cfg(cfg, i: int, mesh=None) -> GenConfig:
         pallas_integral=bool(d.TPU.PALLAS_INTEGRAL),
         pallas_generate=_tri_state(d.TPU.PALLAS_GENERATE),
         pallas_precision=str(d.TPU.get("PALLAS_PRECISION", "bf16x3")),
-        pallas_act=(str(d.TPU.PALLAS_ACT).lower()
-                    if d.TPU.get("PALLAS_ACT") else None),
+        pallas_act=pallas_act,
         hess_store=hess_store,
         mesh=mesh,
     )

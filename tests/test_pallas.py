@@ -426,6 +426,41 @@ def test_genconfig_act_dtype_parse():
         GenConfig(pallas_act="fp8").act_dtype
 
 
+def test_pallas_act_precision_conflict_raises():
+    """pallas_act bf16 forces 1-pass dots: combining it with bf16x3 or
+    highest must fail loudly (config-time AND kernel-time), not silently
+    downgrade the configured precision."""
+    from deeppicarditeration_tpu.config import default_cfg
+    from deeppicarditeration_tpu.ops import pallas_kernels as pk
+    from deeppicarditeration_tpu.training.picard import gen_config_from_cfg
+
+    nx = 5
+    sol = _mlp_solution(nx, (8, 8))
+    for prec in ("bf16x3", "highest"):
+        with pytest.raises(ValueError, match="pallas_act"):
+            pk._sol_statics(sol, prec, jnp.bfloat16)
+    # None = trace-time default (single-pass): allowed
+    assert pk._sol_statics(sol, None, jnp.bfloat16)["module"].dtype \
+        == jnp.bfloat16
+    # no-dtype-knob module (Zero solution): pick normalizes act_dtype
+    # away so the VMEM estimate sizes the f32 kernel actually built
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=1.0, T=1.0)
+    zero = Solution.zero(nx)
+    assert (pk.pick_generate_tile(eq, zero, nx, 256, trial=False,
+                                  act_dtype=jnp.bfloat16)
+            == pk.pick_generate_tile(eq, zero, nx, 256, trial=False))
+
+    cfg = default_cfg()
+    cfg.DATA.TPU.PALLAS_ACT = "bf16"  # precision left at bf16x3 default
+    with pytest.raises(ValueError, match="PALLAS_PRECISION"):
+        gen_config_from_cfg(cfg, 1)
+    cfg.DATA.TPU.PALLAS_PRECISION = "default"
+    assert gen_config_from_cfg(cfg, 1).pallas_act == "bf16"
+    cfg.DATA.TPU.PALLAS_ACT = "fp8"
+    with pytest.raises(ValueError, match="PALLAS_ACT"):
+        gen_config_from_cfg(cfg, 1)
+
+
 def test_vmem_estimate_act_bytes_halves_activations():
     """act_bytes=2 (pallas_act bf16) shrinks only the width-proportional
     activation term, admitting larger tiles for wide nets."""
