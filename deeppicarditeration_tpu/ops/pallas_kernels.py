@@ -375,10 +375,20 @@ _VMEM_RAISED_BUDGET_BYTES = 56 * 2 ** 20
 
 def _heuristic_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
                              act_bytes: int = 4):
-    """Two-point-calibrated VMEM estimate -> preferred (tile, split)."""
-    for tile in (128, 64, 32, 16):
-        if b % tile == 0 and generate_fits_vmem(eq, sol, nx, tile, mblk,
-                                                act_bytes):
+    """Two-point-calibrated VMEM estimate -> preferred (tile, split).
+
+    The ladder walks ``largest_divisor(b, cap)`` (not only the literal
+    caps) so small per-device batches — e.g. b_local = 8 under an
+    8-device shard_map — still get their sublane-aligned tile."""
+    from deeppicarditeration_tpu.ops.estimators import largest_divisor
+
+    seen = set()
+    for cap in (128, 64, 32, 16, 8):
+        tile = largest_divisor(b, cap)
+        if tile % 8 or tile in seen:
+            continue
+        seen.add(tile)
+        if generate_fits_vmem(eq, sol, nx, tile, mblk, act_bytes):
             if tile == 16 and b % 32 == 0:
                 cap_arrs, _, _ = _flatten_captured((eq, sol.params))
                 params_bytes = sum(int(a.size) * 4 for a in cap_arrs)
