@@ -316,14 +316,15 @@ def estimate_terminal_with_gradients(key, eq, tx, gen: GenConfig):
             # flag must not reach a runtime Mosaic failure on a net the
             # VMEM heuristics never saw (512 = measured best on v5e at
             # B=4096, M=4096, nx=100; 93 ms vs 111 ms XLA)
-            tile = pick_standalone_tile(
+            spec = pick_standalone_tile(
                 "terminal", eq, None, tx.shape[1] - 1, b_local, 512,
                 antithetic=gen.antithetic)
-            if tile is None:
+            if spec is None:
                 _notice_forced_fallback(
                     "DATA.TPU.PALLAS_TERMINAL",
                     "no batch tile passes the Mosaic trial compile")
             else:
+                tile = spec[0]  # terminal traces no net: limit unused
                 draws = _forced_pallas_draws(key, tx,
                                              gen.n_estimate_terminal,
                                              gen.antithetic)
@@ -441,15 +442,16 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
             # confirm-or-walk-down (see the terminal path; 128 = measured
             # best on v5e — the in-kernel net fwd+vjp holds ~8 MB of
             # activations, so wide nets need smaller tiles or XLA)
-            tile = pick_standalone_tile(
+            spec = pick_standalone_tile(
                 "integral", eq, sol, tx.shape[1] - 1, b_local, 128,
                 antithetic=gen.antithetic,
                 mxu_precision=gen.pallas_precision)
-            if tile is None:
+            if spec is None:
                 _notice_forced_fallback(
                     "DATA.TPU.PALLAS_INTEGRAL",
                     "no batch tile passes the Mosaic trial compile")
             else:
+                tile, vlim = spec
                 draws = _forced_pallas_draws(key, tx,
                                              gen.n_estimate_integral,
                                              gen.antithetic, with_u01=True)
@@ -459,12 +461,14 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
                         gen.n_estimate_integral, mesh=gen.mesh,
                         axis=gen.mesh_axis, tile_b=tile, mblk=8,
                         antithetic=gen.antithetic,
-                        mxu_precision=gen.pallas_precision, **draws)
+                        mxu_precision=gen.pallas_precision,
+                        vmem_limit_bytes=vlim, **draws)
                 return integral_with_gradients_pallas(
                     seed_from_key(key, 1), eq, sol, tx,
                     gen.n_estimate_integral,
                     tile_b=tile, mblk=8, antithetic=gen.antithetic,
-                    mxu_precision=gen.pallas_precision, **draws)
+                    mxu_precision=gen.pallas_precision,
+                    vmem_limit_bytes=vlim, **draws)
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_integral

@@ -541,7 +541,8 @@ _STANDALONE_TRIAL_CACHE: dict = {}
 
 def _standalone_trial_ok(kind: str, eq, sol, nx: int, tile: int, mblk: int,
                          antithetic: bool,
-                         mxu_precision: str | None) -> bool:
+                         mxu_precision: str | None,
+                         vmem_limit_bytes: int | None = None) -> bool:
     """Does the standalone ``terminal``/``integral`` kernel compile at
     this tile? Same mechanism as _trial_compile_ok for the merged kernel
     (ahead-of-time lowering of a single-tile call with m == mblk — the
@@ -550,7 +551,7 @@ def _standalone_trial_ok(kind: str, eq, sol, nx: int, tile: int, mblk: int,
     payload = eq if kind == "terminal" else (eq, sol)
     leaves, treedef = jax.tree_util.tree_flatten(payload)
     sig = (kind, treedef, tuple(jnp.shape(l) for l in leaves), nx, tile,
-           mblk, antithetic, mxu_precision)
+           mblk, antithetic, mxu_precision, vmem_limit_bytes)
     try:
         hash(sig)
         cached = _STANDALONE_TRIAL_CACHE.get(sig)
@@ -579,7 +580,8 @@ def _standalone_trial_ok(kind: str, eq, sol, nx: int, tile: int, mblk: int,
         e, s = payload_in
         return integral_with_gradients_pallas(
             0, e, s, tx, mblk, tile_b=tile, mblk=mblk,
-            antithetic=antithetic, mxu_precision=mxu_precision, **ext)
+            antithetic=antithetic, mxu_precision=mxu_precision,
+            vmem_limit_bytes=vmem_limit_bytes, **ext)
 
     try:
         jax.jit(run).lower(abstract, tx_abs, ext_abs).compile()
@@ -597,16 +599,21 @@ def pick_standalone_tile(kind: str, eq, sol, nx: int, b: int,
                          tile_pref: int, mblk: int = 8,
                          antithetic: bool = False,
                          mxu_precision: str | None = None):
-    """Largest batch tile (<= tile_pref, dividing b, sublane-aligned)
-    at which the forced standalone ``kind`` kernel actually compiles, or
-    None for the XLA path.
+    """(tile, vmem_limit_bytes|None) — the largest batch tile
+    (<= tile_pref, dividing b, sublane-aligned) at which the forced
+    standalone ``kind`` kernel actually compiles — or None for the XLA
+    path.
 
     The merged dispatcher's tile pick is Mosaic-trial-confirmed; an
     explicitly forced DATA.TPU.PALLAS_TERMINAL/INTEGRAL used to go
     straight to pallas_call and could fail at runtime on a net the VMEM
     heuristics never saw (VERDICT r3 weak #3). This walks the same
     confirm-or-fall-down ladder so no runtime Mosaic failure is reachable
-    from config."""
+    from config. An integral tile that Mosaic rejects at the DEFAULT
+    scoped-vmem limit is retried at the raised limit before walking
+    down (the net's fwd+vjp activations are what overflow — see
+    _VMEM_LIMIT_BYTES), so wide nets keep big tiles under the forced
+    flags too."""
     from deeppicarditeration_tpu.ops.estimators import largest_divisor
 
     seen = set()
@@ -619,7 +626,11 @@ def pick_standalone_tile(kind: str, eq, sol, nx: int, b: int,
         seen.add(tile)
         if _standalone_trial_ok(kind, eq, sol, nx, tile, mblk, antithetic,
                                 mxu_precision):
-            return tile
+            return tile, None
+        if kind == "integral" and _standalone_trial_ok(
+                kind, eq, sol, nx, tile, mblk, antithetic, mxu_precision,
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES):
+            return tile, _VMEM_LIMIT_BYTES
     return None
 
 
@@ -709,7 +720,8 @@ def integral_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
                                    u01: jnp.ndarray | None = None,
                                    noise: jnp.ndarray | None = None,
                                    interpret: bool | None = None,
-                                   mxu_precision: str | None = None):
+                                   mxu_precision: str | None = None,
+                                   vmem_limit_bytes: int | None = None):
     """Pallas drop-in for estimate_integral_with_gradients (the standard
     gradient-term path: no Hessian/SDGD, no TD horizon — those fall back
     to the XLA scan).
@@ -783,6 +795,10 @@ def integral_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
                                      lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args += [u01, noise_pad]
+    extra = {}
+    if vmem_limit_bytes is not None:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
     out = pl.pallas_call(
         kernel,
         grid=(b // tile,),
@@ -792,6 +808,7 @@ def integral_with_gradients_pallas(seed: int, eq, sol, tx: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, 1 + nx_pad), x.dtype),
         scratch_shapes=[pltpu.VMEM((tile, 1 + nx_pad), jnp.float32)],
         interpret=interpret,
+        **extra,
     )(*args)
     return out[:, :1 + nx]
 
@@ -1145,7 +1162,8 @@ def integral_with_gradients_pallas_sharded(seed, eq, sol, tx: jnp.ndarray,
                                            u01: jnp.ndarray | None = None,
                                            noise: jnp.ndarray | None = None,
                                            interpret: bool | None = None,
-                                           mxu_precision: str | None = None):
+                                           mxu_precision: str | None = None,
+                                           vmem_limit_bytes: int | None = None):
     """Multi-device standalone integral estimator kernel (f0 is computed
     per shard inside the kernel wrapper — pointwise, so exact)."""
 
@@ -1154,6 +1172,7 @@ def integral_with_gradients_pallas_sharded(seed, eq, sol, tx: jnp.ndarray,
         return integral_with_gradients_pallas(
             seed_l, eq_in, sol_in, tx_l, m, tile_b=tile, mblk=mblk,
             antithetic=antithetic, interpret=interpret,
+            vmem_limit_bytes=vmem_limit_bytes,
             mxu_precision=mxu_precision, **ext_l)
 
     return _shard_map_seeded_kernel(

@@ -54,13 +54,17 @@ def test_pick_standalone_tile_walks_down(monkeypatch):
     eq, sol = _eq_sol()
     calls = []
 
-    def fake_trial(kind, e, s, nx, tile, mblk, anti, prec):
-        calls.append(tile)
-        return tile <= 64
+    def fake_trial(kind, e, s, nx, tile, mblk, anti, prec,
+                   vmem_limit_bytes=None):
+        calls.append((tile, vmem_limit_bytes))
+        return tile <= 64 and vmem_limit_bytes is None
 
     monkeypatch.setattr(pk, "_standalone_trial_ok", fake_trial)
-    assert pk.pick_standalone_tile("integral", eq, sol, 3, 256, 128) == 64
-    assert calls == [128, 64]
+    assert pk.pick_standalone_tile("integral", eq, sol, 3, 256, 128) \
+        == (64, None)
+    # integral retries a default-limit reject at the raised scoped limit
+    # before walking down (terminal traces no net: no retry)
+    assert calls == [(128, None), (128, pk._VMEM_LIMIT_BYTES), (64, None)]
 
     monkeypatch.setattr(pk, "_standalone_trial_ok",
                         lambda *a, **k: False)
@@ -71,12 +75,15 @@ def test_pick_standalone_tile_accepts_on_cpu():
     """On the CPU backend the kernels lower in interpret mode, so the
     trial passes and the preferred tile is returned unchanged."""
     eq, sol = _eq_sol()
-    assert pk.pick_standalone_tile("terminal", eq, None, 3, 256, 512) == 256
-    assert pk.pick_standalone_tile("integral", eq, sol, 3, 256, 128) == 128
+    assert pk.pick_standalone_tile("terminal", eq, None, 3, 256, 512) \
+        == (256, None)
+    assert pk.pick_standalone_tile("integral", eq, sol, 3, 256, 128) \
+        == (128, None)
     # b = 2008 = 8 * 251: the largest divisors (502, 251) are
     # sublane-astride, but the walk-down still finds the aligned tile 8 —
     # the old sublane_tile pre-guard wrongly rejected such batches
-    assert pk.pick_standalone_tile("terminal", eq, None, 3, 2008, 512) == 8
+    assert pk.pick_standalone_tile("terminal", eq, None, 3, 2008, 512) \
+        == (8, None)
 
 
 def test_forced_flags_fall_back_when_no_tile_compiles(monkeypatch, capsys):
