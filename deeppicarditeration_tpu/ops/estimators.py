@@ -764,9 +764,11 @@ def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
                               mxu_precision=gen.pallas_precision,
                               act_dtype=gen.act_dtype)
     if spec is None or sublane_tile(b_local, spec[0]) is None:
-        if mode is True and spec is not None:
+        if mode is True:
             _notice_forced_fallback(
                 "DATA.TPU.PALLAS_GENERATE",
+                "no batch tile passes the Mosaic trial compile"
+                if spec is None else
                 f"per-device batch {b_local} cannot tile to the 8-row "
                 "sublane")
         return None  # sublane-degenerate batch / no fitting tile: XLA path

@@ -503,12 +503,26 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
         # the kernel stores f32 activations, so size the estimate (and
         # the trial signature) accordingly
         act_dtype = None
+    if act_dtype is not None and mxu_precision in ("bf16x3", "highest"):
+        # fail fast HERE: raised inside the trial lowering, the
+        # _sol_statics conflict ValueError would be swallowed by the
+        # trial's except and misread as a Mosaic compile failure
+        raise ValueError(
+            "pallas_act bf16 requires pallas_precision='default' "
+            f"(got {mxu_precision!r})")
+    from deeppicarditeration_tpu.ops.estimators import largest_divisor
+
     act_bytes = 2 if act_dtype == jnp.bfloat16 else 4
     base = _heuristic_generate_tile(eq, sol, nx, b, mblk, act_bytes)
     candidates = []
     base_tile = base[0] if base else 0
-    for tile in (128, 64):
-        if (tile > base_tile and b % tile == 0
+    raised_seen = set()
+    for cap in (128, 64):
+        tile = largest_divisor(b, cap)
+        if tile % 8 or tile in raised_seen:
+            continue
+        raised_seen.add(tile)
+        if (tile > base_tile
                 and generate_vmem_bytes(eq, sol, nx, tile, mblk, act_bytes)
                 <= _VMEM_RAISED_BUDGET_BYTES):
             candidates.append((tile, False, _VMEM_LIMIT_BYTES))
@@ -522,8 +536,11 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
             candidates.append((base[0], True, None))
         for tile in (64, 32, 16):
             if tile < base[0] and b % tile == 0:
+                # merged-only on the down-ladder: each candidate is a
+                # 1-5 min remote trial compile on a new architecture,
+                # and the split rescue is already offered at the
+                # preferred tile
                 candidates.append((tile, False, None))
-                candidates.append((tile, True, None))
     if not candidates:
         return None
     if not trial:
@@ -630,6 +647,10 @@ def pick_standalone_tile(kind: str, eq, sol, nx: int, b: int,
         if kind == "integral" and _standalone_trial_ok(
                 kind, eq, sol, nx, tile, mblk, antithetic, mxu_precision,
                 vmem_limit_bytes=_VMEM_LIMIT_BYTES):
+            # the default-limit attempt just printed "falling back" —
+            # correct the record: the big tile shipped after all
+            print(f"pallas_{kind}: tile {tile} kept at the raised "
+                  "scoped-vmem limit")
             return tile, _VMEM_LIMIT_BYTES
     return None
 

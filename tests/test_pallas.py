@@ -348,9 +348,10 @@ def test_pick_generate_tile_trial_compile_fallback(monkeypatch):
     assert pk.pick_generate_tile(eq, small, nx, 4096,
                                  mxu_precision="default") == (32, False,
                                                               None)
+    # split is retried at the preferred tile only; the down-ladder stays
+    # merged-only (each candidate is a 1-5 min remote trial compile)
     assert calls == [(128, False, "default"), (128, True, "default"),
-                     (64, False, "default"), (64, True, "default"),
-                     (32, False, "default")]
+                     (64, False, "default"), (32, False, "default")]
 
     calls.clear()
     monkeypatch.setattr(pk, "_trial_compile_ok",
@@ -415,6 +416,38 @@ def test_pallas_generate_merged_act_bf16_close(eq_name, key):
     scale = float(jnp.max(jnp.abs(f32)))
     np.testing.assert_allclose(np.asarray(bf), np.asarray(f32),
                                rtol=0, atol=0.03 * scale)
+
+
+def test_forced_generate_notices_total_trial_failure(monkeypatch, capsys):
+    """Forced PALLAS_GENERATE whose every tile fails the trial compile
+    must say so (like the forced standalone flags), not silently take
+    the XLA path the user opted out of."""
+    from deeppicarditeration_tpu.ops import estimators as est
+    from deeppicarditeration_tpu.ops import pallas_kernels as pk
+
+    nx = 5
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=1.0, T=1.0)
+    sol = _mlp_solution(nx, (8, 8))
+    monkeypatch.setattr(pk, "_trial_compile_ok", lambda *a, **k: False)
+    est._FALLBACK_NOTICED.clear()
+    gen = est.GenConfig(pallas_generate=True)
+    assert est._pallas_generate_tile(gen, eq, sol, 256) is None
+    out = capsys.readouterr().out
+    assert "PALLAS_GENERATE" in out and "Mosaic trial compile" in out
+
+
+def test_pick_generate_tile_act_precision_fail_fast():
+    """The act/precision conflict must raise from pick_generate_tile
+    itself: raised inside the trial lowering it would be swallowed by
+    the trial's except and misread as a Mosaic failure."""
+    from deeppicarditeration_tpu.ops import pallas_kernels as pk
+
+    nx = 5
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=1.0, T=1.0)
+    sol = _mlp_solution(nx, (8, 8))
+    with pytest.raises(ValueError, match="pallas_act"):
+        pk.pick_generate_tile(eq, sol, nx, 256, mxu_precision="bf16x3",
+                              act_dtype=jnp.bfloat16)
 
 
 def test_genconfig_act_dtype_parse():
@@ -482,6 +515,7 @@ def test_vmem_estimate_act_bytes_halves_activations():
     assert bf_bytes < f32_bytes
     spec_f32 = pick_generate_tile(eq_hjb, big, nx, 4096, trial=False)
     spec_bf = pick_generate_tile(eq_hjb, big, nx, 4096, trial=False,
+                                 mxu_precision="default",
                                  act_dtype=jnp.bfloat16)
     assert spec_bf[0] * (2 - spec_bf[1]) >= spec_f32[0] * (2 - spec_f32[1])
 
