@@ -60,16 +60,17 @@ def largest_divisor(n: int, cap: int, step: int = 1) -> int:
 _FALLBACK_NOTICED = set()
 
 
-def _notice_forced_fallback(flag: str, reason: str) -> None:
-    """One-line, once-per-(flag, reason) notice when an EXPLICITLY forced
-    Pallas flag is overridden to the XLA path. Mirrors the TRAIN.FUSED
-    gate_fail message: a user who forced a kernel must not silently get
-    the path they opted out of."""
+def _notice_forced_fallback(flag: str, reason: str,
+                            action: str = "using the XLA path") -> None:
+    """One-line, once-per-(flag, reason) notice when an EXPLICITLY
+    configured flag is overridden (usually a forced Pallas kernel falling
+    back to the XLA path; ``action`` names the substitute behavior).
+    Mirrors the TRAIN.FUSED gate_fail message: a user who forced a
+    setting must not silently get the behavior they opted out of."""
     if (flag, reason) in _FALLBACK_NOTICED:
         return
     _FALLBACK_NOTICED.add((flag, reason))
-    print(f"{flag}: true requested but unavailable ({reason}); "
-          "using the XLA path")
+    print(f"{flag}: requested but unavailable ({reason}); {action}")
 
 
 def sublane_tile(b: int, cap: int) -> Optional[int]:

@@ -501,7 +501,16 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
                                       and hasattr(sol.module, "dtype")):
         # _sol_statics will no-op on a module without the dtype knob:
         # the kernel stores f32 activations, so size the estimate (and
-        # the trial signature) accordingly
+        # the trial signature) accordingly — and say so once: the user
+        # explicitly configured DATA.TPU.PALLAS_ACT (ADVICE r4 item 1)
+        from deeppicarditeration_tpu.ops.estimators import (
+            _notice_forced_fallback,
+        )
+
+        _notice_forced_fallback(
+            "DATA.TPU.PALLAS_ACT",
+            f"solution module {type(sol.module).__name__} has no dtype "
+            "knob", action="storing f32 activations")
         act_dtype = None
     if act_dtype is not None and mxu_precision in ("bf16x3", "highest"):
         # fail fast HERE: raised inside the trial lowering, the
@@ -516,6 +525,17 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
     base = _heuristic_generate_tile(eq, sol, nx, b, mblk, act_bytes)
     candidates = []
     base_tile = base[0] if base else 0
+    # Raised-limit candidates are MERGED-ONLY (like the down-ladder) and
+    # their budget gate scales with the precision's MXU pass count: each
+    # rejected candidate costs a 1-5 min remote Mosaic trial compile, and
+    # the bf16x3/highest dot emulations (3/6 passes, hi/lo operand
+    # splits) multiply the dots' live temporaries well past the f32
+    # estimate — on such nets the raised tiles are pruned up front
+    # instead of burning trials (ADVICE r4 item 2). The trial compile
+    # remains the correctness gate for whatever survives; the measured
+    # raised-limit win (HJB 4x512 tile 128, precision "default") has
+    # pass count 1 and is unaffected.
+    passes = {"bf16x3": 3, "highest": 6}.get(mxu_precision or "", 1)
     raised_seen = set()
     for cap in (128, 64):
         tile = largest_divisor(b, cap)
@@ -524,9 +544,8 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
         raised_seen.add(tile)
         if (tile > base_tile
                 and generate_vmem_bytes(eq, sol, nx, tile, mblk, act_bytes)
-                <= _VMEM_RAISED_BUDGET_BYTES):
+                * passes <= _VMEM_RAISED_BUDGET_BYTES):
             candidates.append((tile, False, _VMEM_LIMIT_BYTES))
-            candidates.append((tile, True, _VMEM_LIMIT_BYTES))
     if base is not None:
         candidates.append((base[0], base[1], None))
         if not base[1]:

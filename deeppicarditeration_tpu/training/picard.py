@@ -110,6 +110,17 @@ def _tri_state(v):
     return bool(v)
 
 
+def _opt_str(v):
+    """Optional-string config value: None for every null-ish spelling
+    (None, False, "", "none"/"null"/"off"/"false"/"0" — the reference-
+    YAML compat shim's "None"-string convention, ADVICE r4 item 4),
+    else the lowercased string."""
+    if v is None or v is False or v == "" or v == 0:
+        return None
+    s = str(v).strip().lower()
+    return None if s in ("none", "null", "off", "false", "0") else s
+
+
 def gen_config_from_cfg(cfg, i: int, mesh=None) -> GenConfig:
     """``mesh`` (the runner's device mesh) lets the merged Pallas kernel
     shard_map over the data axis on multi-device runs (estimators.py
@@ -130,15 +141,13 @@ def gen_config_from_cfg(cfg, i: int, mesh=None) -> GenConfig:
     if ("ByGx" in (d.ESTIMATE_TERMINAL or "")
             or "Joint" in (d.ESTIMATE_INTEGRAL or "")):
         eps = 0.01  # reference data.py:134-137
-    hess_store = (str(d.TPU.HESSIAN_STORE).lower()
-                  if d.TPU.get("HESSIAN_STORE") else None)
+    hess_store = _opt_str(d.TPU.get("HESSIAN_STORE"))
     if hess_store not in (None, "bf16"):
         # a typo would otherwise silently run the f32 chain
         raise ValueError(
             f"DATA.TPU.HESSIAN_STORE must be null or 'bf16', got "
             f"{d.TPU.HESSIAN_STORE!r}")
-    pallas_act = (str(d.TPU.PALLAS_ACT).lower()
-                  if d.TPU.get("PALLAS_ACT") else None)
+    pallas_act = _opt_str(d.TPU.get("PALLAS_ACT"))
     if pallas_act not in (None, "bf16"):
         # eager: the lazy GenConfig.act_dtype check is only reached on
         # the TPU merged-kernel dispatch, so a typo would pass silently

@@ -309,13 +309,19 @@ def test_pick_generate_tile_by_net_size():
                          g0=eq_hjb.g, T=1.0)
     big_params = big_mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
     big = Solution.from_net(big_mod, big_params, "Value", nx)
-    spec = pick_generate_tile(eq_hjb, big, nx, 4096)
-    # wide net: upgraded to tile 128 merged at the RAISED scoped-vmem
-    # limit (measured 4% over the old 32/split pick;
-    # probe_vmem_limit.py); off-TPU the trial lowers in interpret mode,
-    # which accepts the first candidate
+    # wide net at 1-pass dots (the shipped HJB precision): upgraded to
+    # tile 128 merged at the RAISED scoped-vmem limit (measured 4% over
+    # the old 32/split pick; probe_vmem_limit.py); off-TPU the trial
+    # lowers in interpret mode, which accepts the first candidate
     from deeppicarditeration_tpu.ops import pallas_kernels as pk
+    spec = pick_generate_tile(eq_hjb, big, nx, 4096,
+                              mxu_precision="default")
     assert spec == (128, False, pk._VMEM_LIMIT_BYTES)
+    # at bf16x3 (3-pass emulated-f32 dots) the pass-scaled raised budget
+    # prunes the raised tiles up front — each would be a 1-5 min remote
+    # trial compile on temporaries ~3x the f32 estimate (ADVICE r4
+    # item 2) — leaving the old measured default-limit pick
+    assert pick_generate_tile(eq_hjb, big, nx, 4096) == (32, True, None)
     # the default-limit fallback (what the trial walk-down reaches if
     # Mosaic rejects the raised candidates) is the old measured pick
     assert pk._heuristic_generate_tile(eq_hjb, big, nx, 4096) == (32, True)

@@ -105,8 +105,8 @@ def test_forced_flags_fall_back_when_no_tile_compiles(monkeypatch, capsys):
                                         gen_x)
     np.testing.assert_array_equal(np.asarray(out_k), np.asarray(out_x))
     out = capsys.readouterr().out
-    assert "DATA.TPU.PALLAS_TERMINAL: true requested but unavailable" in out
-    assert "DATA.TPU.PALLAS_INTEGRAL: true requested but unavailable" in out
+    assert "DATA.TPU.PALLAS_TERMINAL: requested but unavailable" in out
+    assert "DATA.TPU.PALLAS_INTEGRAL: requested but unavailable" in out
 
 
 def test_forced_fallback_notice_on_degenerate_batch(capsys, monkeypatch):
@@ -121,8 +121,8 @@ def test_forced_fallback_notice_on_degenerate_batch(capsys, monkeypatch):
     est.generate_with_gradients(jax.random.PRNGKey(0), eq, sol, tx, gen)
     est.generate_with_gradients(jax.random.PRNGKey(1), eq, sol, tx, gen)
     out = capsys.readouterr().out
-    assert out.count("DATA.TPU.PALLAS_TERMINAL: true requested") == 1
-    assert out.count("DATA.TPU.PALLAS_INTEGRAL: true requested") == 1
+    assert out.count("DATA.TPU.PALLAS_TERMINAL: requested") == 1
+    assert out.count("DATA.TPU.PALLAS_INTEGRAL: requested") == 1
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,98 @@
+"""Round-5 hardening (ADVICE r4): null-spelling normalization for the
+optional TPU string flags, the PALLAS_ACT no-dtype-knob notice, and the
+pass-count-scaled raised-limit candidate pruning."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deeppicarditeration_tpu.config import default_cfg
+from deeppicarditeration_tpu.equations import make_equation
+from deeppicarditeration_tpu.models.solution import Solution
+from deeppicarditeration_tpu.ops import estimators as est
+from deeppicarditeration_tpu.ops import pallas_kernels as pk
+from deeppicarditeration_tpu.training.picard import (
+    _opt_str,
+    gen_config_from_cfg,
+)
+
+
+def test_opt_str_null_spellings():
+    for v in (None, False, "", 0, "none", "None", "NULL", "off", "false",
+              "0"):
+        assert _opt_str(v) is None, repr(v)
+    assert _opt_str("bf16") == "bf16"
+    assert _opt_str("BF16") == "bf16"
+
+
+def test_pallas_act_none_string_disables():
+    """YAML 'PALLAS_ACT: "none"' (the reference-compat "None"-string
+    spelling) must disable the knob, not raise (ADVICE r4 item 4) —
+    likewise HESSIAN_STORE."""
+    cfg = default_cfg()
+    cfg.DATA.TPU.PALLAS_ACT = "none"
+    cfg.DATA.TPU.HESSIAN_STORE = "Null"
+    gen = gen_config_from_cfg(cfg, 1)
+    assert gen.pallas_act is None
+    assert gen.hess_store is None
+    # real typos still fail loudly
+    cfg.DATA.TPU.HESSIAN_STORE = "bf17"
+    with pytest.raises(ValueError, match="HESSIAN_STORE"):
+        gen_config_from_cfg(cfg, 1)
+
+
+def test_pallas_act_no_dtype_knob_notice(capsys, monkeypatch):
+    """An explicitly configured PALLAS_ACT on a module without the dtype
+    knob must say it is storing f32 activations, once (ADVICE r4
+    item 1)."""
+    monkeypatch.setattr(est, "_FALLBACK_NOTICED", set())
+    nx = 5
+    eq = make_equation("Cha", nx=nx, alpha=1.0, k=1.0, T=1.0)
+    zero = Solution.zero(nx)
+    for _ in range(2):
+        pk.pick_generate_tile(eq, zero, nx, 256, trial=False,
+                              act_dtype=jnp.bfloat16)
+    out = capsys.readouterr().out
+    assert out.count("DATA.TPU.PALLAS_ACT: requested but unavailable") == 1
+    assert "storing f32 activations" in out
+
+
+def _wide_solution(nx=100):
+    from deeppicarditeration_tpu.models.networks import PISGradNet
+
+    eq = make_equation("OUProcessEquation", seed=0, nx=nx, alpha=1.0,
+                       T=1.0)
+    mod = PISGradNet(hidden_shapes=(512, 512, 512, 512), dim=nx, g0=eq.g,
+                     T=1.0)
+    params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
+    return eq, Solution.from_net(mod, params, "Value", nx)
+
+
+def test_raised_ladder_merged_only_and_pass_scaled(monkeypatch):
+    """The raised-limit candidates are merged-only and pruned when the
+    precision's pass count scales the estimate past the raised budget
+    (ADVICE r4 item 2): each rejected candidate is a 1-5 min remote
+    Mosaic trial compile."""
+    eq, big = _wide_solution()
+    trials = []
+
+    def fake_trial(eq_, sol_, nx_, tile, split, mblk, antithetic,
+                   mxu_precision="bf16x3", act_dtype=None,
+                   vmem_limit_bytes=None):
+        trials.append((tile, split, vmem_limit_bytes))
+        return True
+
+    monkeypatch.setattr(pk, "_trial_compile_ok", fake_trial)
+    # 1-pass dots: raised merged candidates only — no split-at-raised
+    spec = pk.pick_generate_tile(eq, big, 100, 4096,
+                                 mxu_precision="default")
+    assert spec == (128, False, pk._VMEM_LIMIT_BYTES)
+    assert trials == [(128, False, pk._VMEM_LIMIT_BYTES)]
+
+    trials.clear()
+    # 3-pass bf16x3: the scaled estimate prunes every raised candidate
+    # up front; the first trial is already the default-limit base pick
+    spec = pk.pick_generate_tile(eq, big, 100, 4096,
+                                 mxu_precision="bf16x3")
+    assert spec == (32, True, None)
+    assert all(lim is None for _, _, lim in trials)
