@@ -1,18 +1,30 @@
 #!/usr/bin/env python
-"""Headline benchmark: SDE samples/s/chip on 100-d Burgers DPI generation.
+"""Headline benchmark + 3-family perf-regression harness.
 
-Workload (BASELINE.md row 1): the throughput-dominant kernel of the
-framework — value+gradient Monte-Carlo target generation for the Cha 100-d
-equation at the shipped config's scale (B=4096 collocation points,
-M=4096 terminal + 4096 integral samples each, frozen 4x128 ELU MLP as the
-previous Picard iterate).
+Headline (BASELINE.md row 1): SDE samples/s/chip on the throughput-
+dominant kernel — value+gradient Monte-Carlo target generation for the
+Cha 100-d equation at the shipped config's scale (B=4096 collocation
+points, M=4096 terminal + 4096 integral samples each, frozen 4x128 ELU
+MLP as the previous Picard iterate).
 
 Baseline: the same estimator math implemented in PyTorch (float64, as the
 reference's shipped configs run, config.py:170-195) on this host's CPU —
 the reference itself publishes no numbers (BASELINE.json "published": {}).
 
+Regression harness (VERDICT r4 "What's weak" #2): the Burgers headline
+has been flat at its measured VPU roofline for four rounds, so it alone
+cannot catch a regression of the round wins that live in the OTHER
+families' paths (the HJB raised-vmem tile-128 pick, the FN bf16 Hessian
+store). The full run therefore also measures HJB and FN generation at
+their shipped-config scales, compares each family's s/call against the
+recorded r4 band (bench_results/mfu_r4*.jsonl +-15%), and reports
+in-band status per family; ``--check`` exits nonzero when any family is
+outside its band — one command that catches a tile-pick or hess-store
+regression.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "mfu": ..., "families": {...}, "all_in_band": bool}
 """
 
 import json
@@ -23,21 +35,27 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# Recorded r4 steady s/call per family at the shipped-config scales
+# (bench_results/mfu_r4.jsonl, mfu_r4_fn.jsonl, mfu_r4_hjb128.jsonl) and
+# model FLOPs per call from XLA single-chunk cost analysis
+# (scripts/mfu_analysis.py — scan bodies are counted once, so the count
+# must come from an UNCHUNKED graph; FLOPs are chunking-invariant).
+FAMILY_BANDS = {
+    # family: (center s/call, flops/call, config path, reduce over)
+    "burgers": (0.2682, 4.800996442112e12,
+                "configs/burgers/base_100d_T1.0_w1.0.yaml"),
+    "hjb": (0.8038, 6.753043349504e13,
+            "configs/hjb/base_100d_T1.0_w0.1.yaml"),
+    "fn": (0.4426, 6.542841085952e12,
+           "configs/fully_nonlinear/base_100d_T1.0_w0.0_nov.yaml"),
+}
+BAND_TOL = 0.15
+PEAK_BF16_TFLOPS = 197.0  # v5e
+
 
 def bench_tpu(b=4096, m=4096, nx=100, repeats=8):
     import jax
     import jax.numpy as jnp
-
-    from deeppicarditeration_tpu.utils.compile_cache import (
-        enable_persistent_compile_cache,
-    )
-
-    enable_persistent_compile_cache()  # warm runs skip tunnel compiles
-
-    # Match the shipped accuracy policy (PRECISION.md): full-f32 matmuls.
-    # Measured free on this workload once nothing is dead-code-eliminated
-    # (651.9 ms highest vs 619.5 default on the XLA path at this scale).
-    jax.config.update("jax_default_matmul_precision", "highest")
 
     from deeppicarditeration_tpu.equations import make_equation
     from deeppicarditeration_tpu.models.networks import MLP
@@ -76,6 +94,59 @@ def bench_tpu(b=4096, m=4096, nx=100, repeats=8):
     dt = (time.perf_counter() - t0) / repeats
     samples = b * (2 * m)  # terminal + integral SDE samples per call
     return samples / dt, dt
+
+
+def bench_family(name, repeats=6):
+    """Steady generation s/call for a flagship family built from its
+    SHIPPED config (same construction as the runner: gen_config_from_cfg
+    threads the TPU flags — HJB's raised-vmem tile pick, FN's bf16
+    Hessian store — so a regression in either shows up here)."""
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from deeppicarditeration_tpu.config import load_cfg
+    from deeppicarditeration_tpu.equations import make_equation
+    from deeppicarditeration_tpu.models.factory import (
+        build_network,
+        init_solution,
+    )
+    from deeppicarditeration_tpu.ops import estimators as est
+    from deeppicarditeration_tpu.training.picard import gen_config_from_cfg
+
+    center, flops, cfg_path = FAMILY_BANDS[name]
+    cfg = load_cfg(pathlib.Path(REPO) / cfg_path)
+    eq = make_equation(cfg.EQUATION.cls, run_seed=int(cfg.SEED),
+                       **(cfg.EQUATION.kwargs or {}))
+    module = build_network(cfg, eq)
+    sol = init_solution(jax.random.PRNGKey(0), cfg, eq, module=module)
+    gen = gen_config_from_cfg(cfg, 1)
+    b = int(cfg.DATA.DATA_SIZE)
+
+    @jax.jit
+    def generate(key, e, s, salt):
+        tx = est.sample_tx(key, e, b, gen)
+        out = est.generate_with_gradients(key, e, s, tx, gen)
+        return jnp.sum(out) * 1e-9 + salt
+
+    key = jax.random.PRNGKey(1)
+    salt = generate(key, eq, sol, jnp.zeros(()))
+    float(salt)
+    t0 = time.perf_counter()
+    for r in range(repeats):
+        salt = generate(jax.random.fold_in(key, r), eq, sol, salt)
+    float(salt)
+    dt = (time.perf_counter() - t0) / repeats
+    lo, hi = center * (1 - BAND_TOL), center * (1 + BAND_TOL)
+    m = gen.n_estimate_integral
+    return {
+        "s_per_call": round(dt, 4),
+        "samples_per_s": round(b * 2 * m / dt, 0),
+        "mfu": round(flops / dt / 1e12 / PEAK_BF16_TFLOPS, 4),
+        "band_s_per_call": [round(lo, 4), round(hi, 4)],
+        "in_band": bool(lo <= dt <= hi),
+    }
 
 
 def bench_torch_cpu(b=128, m=512, nx=100, repeats=2):
@@ -148,22 +219,53 @@ def bench_torch_cpu(b=128, m=512, nx=100, repeats=2):
     return b * 2 * m / dt, dt
 
 
-# Model FLOPs per SDE sample for this workload: 4.801e12 flops/call at
-# B=4096, M=4096+4096 by XLA cost analysis of the single-chunk XLA-path
-# graph (scripts/mfu_analysis.py — cost_analysis counts scan bodies once,
-# so the count must be taken on an unchunked graph; FLOPs are
-# chunking-invariant). Dominated by the frozen 4x128 MLP fwd+vjp of the
-# integral estimator. The workload is VPU-bound, not MXU-bound (see
-# scripts/probe_vpu_roofline.py + BASELINE.md MFU section), so MXU MFU is
-# structurally low here; it is reported for fleet comparability.
+# Model FLOPs per SDE sample for the headline workload (see FAMILY_BANDS
+# for the per-call counts). The Burgers workload is VPU-bound, not
+# MXU-bound (scripts/probe_vpu_roofline.py + BASELINE.md MFU section), so
+# MXU MFU is structurally low here; reported for fleet comparability.
 FLOPS_PER_SAMPLE = 143081.0
-PEAK_BF16_TFLOPS = 197.0  # v5e
 
 
 def main():
     quick = "--quick" in sys.argv
+    check = "--check" in sys.argv
+
+    import jax
+
+    from deeppicarditeration_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()  # warm runs skip tunnel compiles
+    # Match the shipped accuracy policy (PRECISION.md): full-f32 matmuls.
+    # Measured free on the headline workload (651.9 ms highest vs 619.5
+    # default on the XLA path); the HJB/FN family paths are insensitive
+    # (in-kernel precision is the config's PALLAS_PRECISION; the FN r4
+    # band was recorded under this same global setting).
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     tpu_sps, tpu_dt = bench_tpu(
         b=512 if quick else 4096, m=512 if quick else 4096)
+    families = None
+    all_in_band = None
+    if not quick:
+        blo = FAMILY_BANDS["burgers"][0] * (1 - BAND_TOL)
+        bhi = FAMILY_BANDS["burgers"][0] * (1 + BAND_TOL)
+        families = {"burgers": {
+            "s_per_call": round(tpu_dt, 4),
+            "samples_per_s": round(tpu_sps, 1),
+            "mfu": round(tpu_sps * FLOPS_PER_SAMPLE
+                         / (PEAK_BF16_TFLOPS * 1e12), 4),
+            "band_s_per_call": [round(blo, 4), round(bhi, 4)],
+            "in_band": bool(blo <= tpu_dt <= bhi),
+        }}
+        for fam in ("hjb", "fn"):
+            try:
+                families[fam] = bench_family(fam)
+            except Exception as e:
+                families[fam] = {"error": f"{type(e).__name__}: {e}"[:200],
+                                 "in_band": False}
+        all_in_band = all(f.get("in_band") for f in families.values())
     try:
         torch_sps, _ = bench_torch_cpu(b=32 if quick else 128,
                                        m=256 if quick else 512)
@@ -177,7 +279,11 @@ def main():
                         if torch_sps == torch_sps else None),
         "mfu": round(tpu_sps * FLOPS_PER_SAMPLE / (PEAK_BF16_TFLOPS * 1e12),
                      4),
+        "families": families,
+        "all_in_band": all_in_band,
     }))
+    if check and not all_in_band:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
