@@ -66,6 +66,10 @@ from deeppicarditeration_tpu.training.trainer import (
     make_step_body,
     model_summary,
 )
+from deeppicarditeration_tpu.utils.memory import (
+    log_compiled_memory,
+    oom_advice,
+)
 from deeppicarditeration_tpu.utils.profiling import step_timer
 from deeppicarditeration_tpu.utils.progress import PicardProgress
 
@@ -250,6 +254,7 @@ class PicardRunner:
                                    primary=is_primary())
         self.global_step = 0
         self._jit_cache = {}
+        self._memlogged = set()
         self.progress = PicardProgress(self.N, enabled=False)
         if cfg.RESUME:
             self._maybe_resume()
@@ -356,6 +361,15 @@ class PicardRunner:
             self._jit_cache[name] = builder()
         return self._jit_cache[name]
 
+    def _log_jit_memory(self, name, label, jitted, *args):
+        """DPI_PROFILE=1: log the compiled device-memory footprint of a
+        runner jit, once per _jitted cache key (the AOT analysis costs
+        one extra compile, so it must not repeat per iteration)."""
+        if name in self._memlogged:
+            return
+        self._memlogged.add(name)
+        log_compiled_memory(label, jitted, *args)
+
     # ------------------------------------------------------------------
     def _provenance(self, gen: GenConfig, mode: str, n_total: int,
                     gen_batch: int) -> dict:
@@ -457,14 +471,23 @@ class PicardRunner:
         import dataclasses as _dc
 
         gen_keyed = _dc.replace(gen, i=0)
-        jit_sample = self._jitted(("sample", mode, gen_keyed, gen_batch),
-                                  builder)
-        ds = generate_dataset(key, self.equation, self.u_current, n_total,
-                              gen, mode, sol_m2=sol_m2,
-                              gen_batch=gen_batch,
-                              sharding=self.sharding, dtype=self.dtype,
-                              jit_sample=jit_sample,
-                              t_expo=float(max(gen.N - gen.i + 1, 1)))
+        jit_name = ("sample", mode, gen_keyed, gen_batch)
+        jit_sample = self._jitted(jit_name, builder)
+        self._log_jit_memory(
+            jit_name, f"generate[{mode} B={gen_batch}]", jit_sample,
+            key, self.equation, self.u_current, sol_m2,
+            jnp.asarray(float(max(gen.N - gen.i + 1, 1)), self.dtype))
+        with oom_advice(
+                f"target generation (iteration {self.i})",
+                "lower DATA.GEN_BATCH (collocation points per dispatch), "
+                "lower DATA.CHUNK_ELEMS (per-chunk sample-buffer "
+                "elements), or set DATA.TPU.PALLAS_GENERATE: false."):
+            ds = generate_dataset(key, self.equation, self.u_current,
+                                  n_total, gen, mode, sol_m2=sol_m2,
+                                  gen_batch=gen_batch,
+                                  sharding=self.sharding, dtype=self.dtype,
+                                  jit_sample=jit_sample,
+                                  t_expo=float(max(gen.N - gen.i + 1, 1)))
         if cfg.DATA.SAVE:
             ext = data_save_ext(cfg.DATA.SAVE_FORMAT)
             save_dataset(self.exp_dir / f"data_iter_{self.i}.{ext}", ds,
@@ -653,6 +676,13 @@ class PicardRunner:
                     ("fused_freq", steps, bs, seg, shuffle, n_e, eval_cfg),
                     lambda: self._make_fused_freq_scan(
                         steps, bs, seg, shuffle, n_e, eval_cfg))
+                self._log_jit_memory(
+                    ("fused_freq_mem", steps, bs, seg, shuffle, n_e,
+                     eval_cfg),
+                    f"train[fused+eval {steps}x{n_e}ep bs={bs}]", run,
+                    state, ds.tx, ds.y, key, self.equation,
+                    jnp.asarray(e0), shuffle_keys[e0:e0 + n_e],
+                    step_keys[e0:e0 + n_e])
                 state, ms = run(state, ds.tx, ds.y, key, self.equation,
                                 jnp.asarray(e0),
                                 shuffle_keys[e0:e0 + n_e],
@@ -704,6 +734,11 @@ class PicardRunner:
                                           steps, bs, shuffle))
             shuffle_keys, step_keys = _train_keys(key, n_epochs)
             ep_chunk = self._dispatch_epoch_chunk(steps, n_epochs)
+            self._log_jit_memory(
+                ("epoch_scan", steps, bs, shuffle, ep_chunk),
+                f"train[fused {steps}x{ep_chunk}ep bs={bs}]", run_epochs,
+                state, ds.tx, ds.y, shuffle_keys[:ep_chunk],
+                step_keys[:ep_chunk])
             with step_timer("train[fused]") as tm:
                 for e0 in range(0, n_epochs, ep_chunk):
                     state, metrics = run_epochs(
@@ -847,8 +882,13 @@ class PicardRunner:
 
         state = TrainState.create(params, self.tx_opt)
         state = jax.device_put(state, self.repl)
-        state = self._train_iteration(jax.random.fold_in(key_iter, 2), state,
-                                      ds)
+        with oom_advice(
+                f"training (iteration {self.i})",
+                "lower TRAIN.BATCH_SIZE, lower TRAIN.DISPATCH_STEPS "
+                "(optimizer steps per dispatch), or lower EVAL.BATCH_SIZE "
+                "(fused in-training eval)."):
+            state = self._train_iteration(jax.random.fold_in(key_iter, 2),
+                                          state, ds)
 
         ckpt.save_params(ckpt.ckpt_path(self.exp_dir, self.i), state.params)
         self.u_current = Solution.from_net(self.module, state.params,
