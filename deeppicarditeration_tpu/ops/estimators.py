@@ -152,12 +152,49 @@ class GenConfig:
             f"DATA.TPU.PALLAS_ACT must be null or 'bf16', got "
             f"{self.pallas_act!r}")
 
-    def chunk(self, m: int, batch: int, nx: int) -> int:
+    def chunk(self, m: int, batch: int, nx: int, act_width: int = 0) -> int:
         """Largest divisor of m with batch * chunk * nx <= chunk_elems
-        (even when antithetic pairing is on)."""
+        (even when antithetic pairing is on).
+
+        ``act_width`` — the summed matmul output widths of the frozen
+        net(s) the chunk traces (``_act_width``; 0 when no net) — adds a
+        second bound: batch * chunk * act_width <= _ACT_BUDGET_ELEMS.
+        The nx-based target alone sizes only the (B, mc, nx) sample
+        buffers; the fwd+vjp activation residuals scale with act_width
+        instead, and at small nx with a wide net they dominate (measured
+        r5, dispatcher matrix: the 4x512 net at nx=10 drew mc=512 ->
+        ~34 GB of activations -> device OOM). The budget is calibrated so
+        every recorded flagship chunking — and therefore its RNG
+        chunk-key stream and bitwise trajectory — is unchanged (HJB
+        PISGradNet act_width 2760 -> target 71 >= the nx-based 64)."""
         target = max(1, self.chunk_elems // max(batch * nx, 1))
+        if act_width:
+            target = min(target, max(
+                1, _ACT_BUDGET_ELEMS // max(batch * act_width, 1)))
         step = 2 if self.antithetic else 1
         return largest_divisor(m, target, step)
+
+
+# Activation-element budget for GenConfig.chunk's second bound: the
+# largest batch*mc*act_width the flagship recipes are MEASURED to run
+# (HJB 4x512 PISGradNet: 4096 * 64 * 2760 = 7.2e8 elements ~= 5.8 GB of
+# fwd+vjp residuals at f32 x ~2 live copies on a 16 GB chip) with ~10%
+# headroom. Keeping every recorded recipe's mc unchanged is a hard
+# constraint (mc sets the per-chunk RNG key stream).
+_ACT_BUDGET_ELEMS = 3 * 2 ** 28
+
+
+def _act_width(*sols) -> int:
+    """Summed matmul output widths of the frozen nets a chunk traces
+    (0 for zero/analytic solutions) — the act_width for GenConfig.chunk."""
+    w = 0
+    for s in sols:
+        if s is None or s.params is None:
+            continue
+        for leaf in jax.tree_util.tree_leaves(s.params):
+            if getattr(leaf, "ndim", 0) >= 2:
+                w += int(leaf.shape[-1])
+    return w
 
 
 # Floor on (s - t) wherever it appears under 1/sqrt: in f32 the uniform
@@ -242,7 +279,7 @@ def estimate_integral(key, eq, sol: Solution, tx, gen: GenConfig):
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_integral
-    mc = gen.chunk(m, b, nx)
+    mc = gen.chunk(m, b, nx, _act_width(sol))
 
     def chunk_sum(k, ck):
         ks, kw, kh = jax.random.split(k, 3)
@@ -473,7 +510,7 @@ def estimate_integral_with_gradients(key, eq, sol: Solution, tx,
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_integral
-    mc = gen.chunk(m, b, nx)
+    mc = gen.chunk(m, b, nx, _act_width(sol))
     k_base, k_scan = jax.random.split(key)
     f0, d0 = _baseline_f(eq, sol, t, x, k_base, gen)
     u0 = sol.value(tx) if d0 is not None else None  # chunk-invariant
@@ -564,7 +601,7 @@ def estimate_integral_with_gradients_and_hessians(key, eq, sol: Solution,
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_integral
-    mc = gen.chunk(m, b, nx)
+    mc = gen.chunk(m, b, nx, _act_width(sol))
     k_base, k_scan = jax.random.split(key)
     f0 = get_f(eq, sol, t, x, hutchinson_key=k_base,  # full-Hessian baseline
                hess_store=gen.hess_store)
@@ -618,7 +655,7 @@ def estimate_terminal_with_gradients_td(key, eq, sol: Solution, tx,
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_terminal
-    mc = gen.chunk(m, b, nx)
+    mc = gen.chunk(m, b, nx, _act_width(sol))
     t_next = jnp.minimum(t + gen.estimate_delta_t, eq.T)
     g0 = eq.g(x)
     sqrt_dt = jnp.sqrt(_safe(t_next - t))  # t can equal T in f32
@@ -646,7 +683,7 @@ def estimate_integral_with_gradients_td(key, eq, sol: Solution, tx,
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_integral
-    mc = gen.chunk(m, b, nx)
+    mc = gen.chunk(m, b, nx, _act_width(sol))
     k_base, k_scan = jax.random.split(key)
     t_next = jnp.minimum(t + gen.estimate_delta_t, eq.T)
     f0, d0 = _baseline_f(eq, sol, t, x, k_base, gen)
@@ -689,7 +726,7 @@ def estimate_terminal_with_gradients_td_bygx(key, eq, sol: Solution, tx,
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_terminal
-    mc = gen.chunk(m, b, nx)
+    mc = gen.chunk(m, b, nx, _act_width(sol))
     t_next = jnp.minimum(t + gen.estimate_delta_t, eq.T)
     at_T = (t_next >= eq.T)
     sqrt_dt = jnp.sqrt(_safe(t_next - t))  # t can equal T in f32
@@ -717,6 +754,30 @@ def _mesh_ndev(gen: GenConfig) -> Optional[int]:
     if gen.mesh is None:
         return None
     return int(gen.mesh.shape[gen.mesh_axis])
+
+
+def _kernel_worthwhile(sol: Solution, nx: int) -> bool:
+    """Is the merged kernel expected to BEAT the XLA path at this
+    (net, nx)? Perf gate for "auto" only (forced True bypasses it; the
+    trial compile still gates correctness either way).
+
+    Measured boundary (r5 dispatcher matrix,
+    bench_results/dispatcher_matrix_r5.jsonl — auto/XLA s-per-call ratio
+    on v5e at B=4096, M=4096):
+      - nx < 32: the kernel LOSES on every measured net (0.42x on 3x64,
+        0.89x on 4x128 at nx=10) — too little VPU work per sample to pay
+        the kernel's fixed per-tile overhead;
+      - narrow nets (summed matmul widths < 512, e.g. 3x64 = 193) lose
+        up to nx=100 (0.75-0.81x) and win from nx=256 (1.58x);
+      - everything else wins 1.29-2.0x (4x128 = 513 wins 1.29x at
+        nx=100 — the Burgers flagship).
+    A zero/analytic frozen iterate (width 0, e.g. Picard iteration 1)
+    keeps the kernel at nx >= 32: the flagship trajectories' iteration-1
+    targets are generated on that path and are pinned bitwise."""
+    if nx < 32:
+        return False
+    w = _act_width(sol)
+    return not (0 < w < 512 and nx < 256)
 
 
 def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
@@ -751,6 +812,8 @@ def _pallas_generate_tile(gen: GenConfig, eq, sol: Solution, b: int):
         if jax.default_backend() != "tpu":
             return None
         if ndev is None and len(jax.devices()) != 1:
+            return None
+        if not _kernel_worthwhile(sol, sol.nx):
             return None
     from deeppicarditeration_tpu.ops.pallas_kernels import (
         pick_generate_tile,
@@ -851,7 +914,7 @@ def generate_two_layer(key, eq, sol: Solution, sol_m2: Solution, tx,
     t, x = tx[:, :1], tx[:, 1:]
     b, nx = x.shape
     m = gen.n_estimate_integral
-    mc = gen.chunk(m, b, nx)
+    mc = gen.chunk(m, b, nx, _act_width(sol, sol_m2))
 
     def chunk_sum(k, ck):
         ks, kw, kh = jax.random.split(k, 3)

@@ -419,10 +419,14 @@ def _trial_compile_ok(eq, sol, nx: int, tile: int, split: bool,
     (VERDICT r1 item 7): Mosaic's allocation failure would kill the run
     at dispatch. This confirms the pick with an ahead-of-time lowering
     against abstract avals (works under an outer trace — only shapes are
-    consumed) of a single-tile call with m == mblk: the VMEM working set
-    depends on (tile, mblk, net), not on the sample count, so the tiny
-    trial exercises exactly the allocation that the real call will make.
-    On failure the dispatcher walks down to smaller tiles, then XLA.
+    consumed) of a single-tile call with m == 2 * mblk: the VMEM working
+    set depends on (tile, mblk, net) and on the inner sample loop being
+    MULTI-trip, not on the sample count beyond that — a single-trip
+    (m == mblk) trial measurably under-allocates the loop's stack
+    (observed r5: the 2x1024 net at nx=256 trial-passed at m == mblk but
+    the full-m dispatch overflowed scoped vmem 17.15M > 16M; dispatcher
+    matrix). On failure the dispatcher walks down to smaller tiles, then
+    XLA.
     """
     leaves, treedef = jax.tree_util.tree_flatten((eq, sol))
     sig = (treedef, tuple(jnp.shape(l) for l in leaves), nx, tile, split,
@@ -438,11 +442,12 @@ def _trial_compile_ok(eq, sol, nx: int, tile: int, split: bool,
         lambda l: jax.ShapeDtypeStruct(jnp.shape(l),
                                        jnp.result_type(l)), (eq, sol))
     tx_abs = jax.ShapeDtypeStruct((tile, 1 + nx), jnp.float32)
+    m_trial = 2 * mblk  # multi-trip inner loop: see docstring
     # mirror the dispatch's noise source: in-kernel PRNG on TPU, external
     # draws off-TPU (prng_seed has no CPU/interpret lowering)
     ext_abs = {}
     if jax.default_backend() != "tpu":
-        m_draw = mblk // 2 if antithetic else mblk
+        m_draw = m_trial // 2 if antithetic else m_trial
         ext_abs = dict(
             u01=jax.ShapeDtypeStruct((tile, m_draw, 1), jnp.float32),
             noise_t=jax.ShapeDtypeStruct((tile, m_draw, nx), jnp.float32),
@@ -451,7 +456,7 @@ def _trial_compile_ok(eq, sol, nx: int, tile: int, split: bool,
     def run(eq_sol, tx, ext):
         e, s = eq_sol
         return generate_with_gradients_pallas(
-            0, e, s, tx, mblk, tile_b=tile, mblk=mblk,
+            0, e, s, tx, m_trial, tile_b=tile, mblk=mblk,
             antithetic=antithetic, mxu_precision=mxu_precision,
             split_chains=split, act_dtype=act_dtype,
             vmem_limit_bytes=vmem_limit_bytes, **ext)
@@ -581,9 +586,10 @@ def _standalone_trial_ok(kind: str, eq, sol, nx: int, tile: int, mblk: int,
                          vmem_limit_bytes: int | None = None) -> bool:
     """Does the standalone ``terminal``/``integral`` kernel compile at
     this tile? Same mechanism as _trial_compile_ok for the merged kernel
-    (ahead-of-time lowering of a single-tile call with m == mblk — the
-    VMEM working set depends on (tile, mblk, net), not the sample count),
-    cached per (kind, net-architecture, tile)."""
+    (ahead-of-time lowering of a single-tile call with m == 2 * mblk —
+    the VMEM working set depends on (tile, mblk, net) and the inner loop
+    being multi-trip, not the sample count beyond that), cached per
+    (kind, net-architecture, tile)."""
     payload = eq if kind == "terminal" else (eq, sol)
     leaves, treedef = jax.tree_util.tree_flatten(payload)
     sig = (kind, treedef, tuple(jnp.shape(l) for l in leaves), nx, tile,
@@ -599,9 +605,10 @@ def _standalone_trial_ok(kind: str, eq, sol, nx: int, tile: int, mblk: int,
         lambda l: jax.ShapeDtypeStruct(jnp.shape(l), jnp.result_type(l)),
         payload)
     tx_abs = jax.ShapeDtypeStruct((tile, 1 + nx), jnp.float32)
+    m_trial = 2 * mblk  # multi-trip inner loop: see _trial_compile_ok
     ext_abs = {}
     if jax.default_backend() != "tpu":  # interpret path: external draws
-        m_draw = mblk // 2 if antithetic else mblk
+        m_draw = m_trial // 2 if antithetic else m_trial
         ext_abs["noise"] = jax.ShapeDtypeStruct((tile, m_draw, nx),
                                                 jnp.float32)
         if kind == "integral":
@@ -611,11 +618,11 @@ def _standalone_trial_ok(kind: str, eq, sol, nx: int, tile: int, mblk: int,
     def run(payload_in, tx, ext):
         if kind == "terminal":
             return terminal_with_gradients_pallas(
-                0, payload_in, tx, mblk, tile_b=tile, mblk=mblk,
+                0, payload_in, tx, m_trial, tile_b=tile, mblk=mblk,
                 antithetic=antithetic, **ext)
         e, s = payload_in
         return integral_with_gradients_pallas(
-            0, e, s, tx, mblk, tile_b=tile, mblk=mblk,
+            0, e, s, tx, m_trial, tile_b=tile, mblk=mblk,
             antithetic=antithetic, mxu_precision=mxu_precision,
             vmem_limit_bytes=vmem_limit_bytes, **ext)
 

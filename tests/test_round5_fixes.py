@@ -168,3 +168,66 @@ def test_runner_oom_advice_on_generation(tmp_path, monkeypatch):
     monkeypatch.setattr(picard_mod, "generate_dataset", boom)
     with pytest.raises(RuntimeError, match="DATA.GEN_BATCH"):
         runner.run_one()
+
+
+# ---------------------------------------------------------------------------
+# dispatcher-matrix findings (r5): auto perf gate + activation chunk cap
+# ---------------------------------------------------------------------------
+
+def test_kernel_worthwhile_measured_boundary():
+    """The auto gate encodes the r5 matrix boundary: small-nx and
+    narrow-net workloads keep the measured-faster XLA path; wide nets,
+    large nx, and the zero iterate (flagship iteration 1) keep the
+    kernel."""
+    def sol_of(widths, nx):
+        from deeppicarditeration_tpu.models.networks import MLP
+
+        mod = MLP(neurons=widths, activations=("ELU",) * len(widths),
+                  out_dim=1)
+        p = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
+        return Solution.from_net(mod, p, "Value", nx)
+
+    wk = est._kernel_worthwhile
+    assert not wk(sol_of((64,) * 3, 10), 10)       # 0.42x measured
+    assert not wk(sol_of((128,) * 4, 10), 10)      # 0.89x measured
+    assert not wk(sol_of((64,) * 3, 100), 100)     # 0.81x measured
+    assert wk(sol_of((64,) * 3, 256), 256)         # 1.58x measured
+    assert wk(sol_of((128,) * 4, 100), 100)        # 1.29x (Burgers)
+    assert wk(sol_of((512,) * 4, 100), 100)        # 1.79x (HJB-class)
+    assert wk(Solution.zero(100), 100)             # iteration-1 pinned
+    assert not wk(Solution.zero(10), 10)
+
+
+def test_chunk_activation_cap():
+    """chunk() bounds the chunk by the frozen net's activation footprint
+    (batch * mc * act_width <= _ACT_BUDGET_ELEMS) without touching any
+    flagship chunking (the mc choice sets the per-chunk RNG streams)."""
+    g = est.GenConfig(chunk_elems=2 ** 25)
+    # the crash case: wide MLP (width sum 2049) at nx=10, B=4096 — the
+    # nx-based target alone admitted mc=512 (~34 GB of activations)
+    assert g.chunk(4096, 4096, 10) == 512
+    assert g.chunk(4096, 4096, 10, act_width=2049) == 64
+    # flagship chunkings unchanged (bitwise-pinned trajectories):
+    assert g.chunk(4096, 4096, 100, act_width=513) \
+        == g.chunk(4096, 4096, 100)                      # Burgers 4x128
+    assert g.chunk(4096, 4096, 100, act_width=2760) \
+        == g.chunk(4096, 4096, 100)                      # HJB PISGradNet
+    g_fn = est.GenConfig(chunk_elems=8388608)
+    assert g_fn.chunk(1024, 2048, 100, act_width=193) \
+        == g_fn.chunk(1024, 2048, 100)                   # FN 3x64
+    # two-layer (two nets) unchanged at the recorded 100-d scale
+    assert g.chunk(4096, 4096, 100, act_width=1026) \
+        == g.chunk(4096, 4096, 100)
+
+
+def test_act_width_sums_matmul_outputs():
+    from deeppicarditeration_tpu.models.networks import MLP
+
+    nx = 5
+    mod = MLP(neurons=(8, 8), activations=("ELU", "ELU"), out_dim=1)
+    p = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 1 + nx)))
+    s = Solution.from_net(mod, p, "Value", nx)
+    assert est._act_width(s) == 8 + 8 + 1
+    assert est._act_width(Solution.zero(nx)) == 0
+    assert est._act_width(s, s) == 2 * 17
+    assert est._act_width(None, s) == 17
