@@ -39,10 +39,13 @@ def test_config_constructs(cfg_path):
 def test_config_count_matches_reference_recipes():
     """One config per runnable reference recipe (burgers 4, hjb 6, FN 3)
     plus the FN case_2/case_3 problem instances (reference ships these as
-    per-case .pt parameter files; here they are seed-pinned configs)."""
+    per-case .pt parameter files; here they are seed-pinned configs) and
+    the two measured best-known `*_best.yaml` overlays (r5; parity bases
+    untouched — README "Parity defaults vs best-known settings")."""
     fam = {p.parent.name for p in CONFIGS}
     assert fam == {"burgers", "hjb", "fully_nonlinear"}
-    assert len(CONFIGS) == 15
+    assert len(CONFIGS) == 17
+    assert sum(p.name.endswith("_best.yaml") for p in CONFIGS) == 2
 
 
 def test_fn_cases_are_distinct_instances():
