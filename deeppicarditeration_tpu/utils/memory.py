@@ -65,8 +65,17 @@ def log_compiled_memory(label: str, jitted, *args, **kwargs) -> None:
               f"({type(e).__name__}: {str(e)[:120]})", flush=True)
 
 
+# Marker strings across the places XLA reports device OOM: runtime
+# allocation ("RESOURCE_EXHAUSTED: ... Out of memory"), compile-time HBM
+# budgeting ("Allocation (size=N) would exceed memory"), Mosaic scoped
+# vmem ("exceeds the limit"). CAVEAT (axon tunnel only): a compile-time
+# OOM through the remote-compile tunnel surfaces as an opaque
+# "HTTP 500: tpu_compile_helper subprocess exit code 1" whose OOM detail
+# is on the terminal's stderr, not in the exception text — undetectable
+# here; on a directly-attached TPU host the markers match.
 _OOM_MARKERS = ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
-                "OOM", "Allocation failure", "exceeds the limit")
+                "OOM", "Allocation failure", "exceeds the limit",
+                "would exceed memory", "exceeds memory")
 
 
 @contextlib.contextmanager
