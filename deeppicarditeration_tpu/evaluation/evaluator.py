@@ -230,7 +230,15 @@ def monte_carlo_at(key, eq, sol: Solution, gen: est.GenConfig,
     if run is None:
         run = _EVAL_BATCH_CACHE[ck] = jax.jit(
             lambda k, e, s, txx: est.generate_values(k, e, s, txx, gen))
-    return run(key, eq, sol, tx)
+    from deeppicarditeration_tpu.utils.memory import oom_advice
+
+    with oom_advice(
+            "the MC self-consistency estimate",
+            "lower --n-estimate (MC samples; the SE scales as "
+            "1/sqrt(n)) or the GenConfig chunk_elems. Observed: the "
+            "1e6-sample protocol at nx=512 with a full-Hessian get_f "
+            "exceeds one chip's HBM by ~67 MB; 5e5 fits."):
+        return run(key, eq, sol, tx)
 
 
 def monte_carlo_at_zero(key, eq, sol: Solution, n_estimate: int = 1_000_000,
