@@ -531,16 +531,22 @@ def pick_generate_tile(eq, sol, nx: int, b: int, mblk: int = 8,
     candidates = []
     base_tile = base[0] if base else 0
     # Raised-limit candidates are MERGED-ONLY (like the down-ladder) and
-    # their budget gate scales with the precision's MXU pass count: each
-    # rejected candidate costs a 1-5 min remote Mosaic trial compile, and
-    # the bf16x3/highest dot emulations (3/6 passes, hi/lo operand
-    # splits) multiply the dots' live temporaries well past the f32
-    # estimate — on such nets the raised tiles are pruned up front
-    # instead of burning trials (ADVICE r4 item 2). The trial compile
-    # remains the correctness gate for whatever survives; the measured
-    # raised-limit win (HJB 4x512 tile 128, precision "default") has
-    # pass count 1 and is unaffected.
-    passes = {"bf16x3": 3, "highest": 6}.get(mxu_precision or "", 1)
+    # their budget gate scales with the precision's extra live
+    # temporaries: each rejected candidate costs a remote Mosaic trial
+    # compile, and the emulated-precision dots multiply the dots' live
+    # operand copies past the f32 estimate — such candidates are pruned
+    # up front instead of burning trials (ADVICE r4 item 2). The factor
+    # models MEMORY (operand duplication), not MXU pass count: bf16x3
+    # splits each operand into hi/lo bf16 copies (~2x live bytes), and
+    # x2 is the measured boundary — at x3 the 4x128/nx=512 tile-128
+    # candidate was pruned at a 58.87M-vs-58.72M margin yet compiles and
+    # runs 2.1% faster than the admitted tile 64 (r5 probes; likewise
+    # 4x512@100 tile-64-raised +1.1%, 2x1024@100 +0.7%). "highest"
+    # keeps its conservative pass count (no in-kernel measurements).
+    # The trial compile remains the correctness gate for whatever
+    # survives; the measured raised-limit win (HJB 4x512 tile 128,
+    # precision "default") has factor 1 and is unaffected.
+    passes = {"bf16x3": 2, "highest": 6}.get(mxu_precision or "", 1)
     raised_seen = set()
     for cap in (128, 64):
         tile = largest_divisor(b, cap)

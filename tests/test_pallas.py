@@ -317,11 +317,12 @@ def test_pick_generate_tile_by_net_size():
     spec = pick_generate_tile(eq_hjb, big, nx, 4096,
                               mxu_precision="default")
     assert spec == (128, False, pk._VMEM_LIMIT_BYTES)
-    # at bf16x3 (3-pass emulated-f32 dots) the pass-scaled raised budget
-    # prunes the raised tiles up front — each would be a 1-5 min remote
-    # trial compile on temporaries ~3x the f32 estimate (ADVICE r4
-    # item 2) — leaving the old measured default-limit pick
-    assert pick_generate_tile(eq_hjb, big, nx, 4096) == (32, True, None)
+    # at bf16x3 the x2 operand-duplication-scaled raised budget prunes
+    # tile 128 (52.9M x2 > 56M budget — ADVICE r4 item 2, factor
+    # re-measured r5) but admits tile 64 (28.4M x2 fits; the measured
+    # +1.1% class on the 4x512 MLP probe); off-TPU the trial accepts it
+    assert pick_generate_tile(eq_hjb, big, nx, 4096) \
+        == (64, False, pk._VMEM_LIMIT_BYTES)
     # the default-limit fallback (what the trial walk-down reaches if
     # Mosaic rejects the raised candidates) is the old measured pick
     assert pk._heuristic_generate_tile(eq_hjb, big, nx, 4096) == (32, True)

@@ -90,12 +90,14 @@ def test_raised_ladder_merged_only_and_pass_scaled(monkeypatch):
     assert trials == [(128, False, pk._VMEM_LIMIT_BYTES)]
 
     trials.clear()
-    # 3-pass bf16x3: the scaled estimate prunes every raised candidate
-    # up front; the first trial is already the default-limit base pick
+    # bf16x3 (x2 operand-duplication factor, re-measured r5): tile 128
+    # is pruned up front (52.9M x2 > the 56M raised budget); tile 64
+    # survives the scaled gate and is trial-confirmed first
     spec = pk.pick_generate_tile(eq, big, 100, 4096,
                                  mxu_precision="bf16x3")
-    assert spec == (32, True, None)
-    assert all(lim is None for _, _, lim in trials)
+    assert spec == (64, False, pk._VMEM_LIMIT_BYTES)
+    assert trials[0] == (64, False, pk._VMEM_LIMIT_BYTES)
+    assert (128, False, pk._VMEM_LIMIT_BYTES) not in trials
 
 
 # ---------------------------------------------------------------------------
